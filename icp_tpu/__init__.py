@@ -1,0 +1,47 @@
+"""icp_tpu — TPU-native point-cloud registration and SLAM engine.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the reference
+C++/CUDA ICP project (`yassram/iterative-closest-point`); see SURVEY.md for
+the component-by-component mapping and docs/ for the architecture.
+"""
+
+from icp_tpu.config import ICPConfig
+from icp_tpu.engine.icp import ICPResult, ICPTrace, icp, icp_fixed_iters, icp_step
+from icp_tpu.io.csv import load_matrix, write_matrix
+from icp_tpu.ops.alignment import (
+    AlignmentStats,
+    Similarity,
+    alignment_from_stats,
+    compute_alignment_stats,
+    find_alignment,
+)
+from icp_tpu.ops.distance import closest_point_indices
+from icp_tpu.ops.transform import (
+    apply_similarity,
+    compose,
+    identity_similarity,
+    inverse,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ICPConfig",
+    "ICPResult",
+    "ICPTrace",
+    "icp",
+    "icp_fixed_iters",
+    "icp_step",
+    "load_matrix",
+    "write_matrix",
+    "AlignmentStats",
+    "Similarity",
+    "alignment_from_stats",
+    "compute_alignment_stats",
+    "find_alignment",
+    "closest_point_indices",
+    "apply_similarity",
+    "compose",
+    "identity_similarity",
+    "inverse",
+]

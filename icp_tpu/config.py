@@ -1,0 +1,75 @@
+"""Configuration for the TPU-native ICP engine.
+
+The reference exposes its knobs as 3 positional CLI args, compile-time macros
+(``REF_PATH``/``SCENE_PATH``, ``BATCH_SIZE=1280``, thread-block shapes; see
+reference ``src/GPU/compute.cu:7-9``, ``src/bench.cc:7-8``) and one hardcoded
+convergence threshold (``src/cpu.hh:113``).  Here everything lives in one
+dataclass, consumable from Python or CLI flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """All tunables of the ICP engine.
+
+    Attributes:
+      max_iter: maximum outer iterations (reference: argv[3]).
+      threshold: convergence threshold on the per-iteration error
+        (reference: ``threshold = 1e-5``, ``src/cpu.hh:113``).  Checked against
+        the *reported* error, which in ``reference_compat`` mode is ~2x the MSE
+        (QUIRK-1, see ``engine/icp.py``).
+      dtype: compute dtype for point coordinates / distances.  The reference is
+        float64 throughout; on TPU the fast path is float32 (validated against
+        the float64 oracle in tests).
+      acc_dtype: dtype for centroid/covariance/error accumulation.  float32 is
+        the TPU-native choice; tests verify convergence parity vs the f64 oracle.
+      reference_compat: if True, report the reference's error metric
+        ``(err_alignment + err_apply) / np`` which double-counts the residual
+        (~2x MSE, reference ``src/cpu.cc:63-73``).  If False, report plain MSE.
+      solver: alignment eigenproblem solver: ``"eigh"`` (jnp.linalg.eigh on the
+        Horn 4x4 N-matrix), ``"qcp"`` (Newton on the quartic characteristic
+        polynomial + adjugate eigenvector; branch-free, fastest on TPU),
+        ``"kabsch"`` (3x3 SVD), or ``"auto"``.
+      nn_method: correspondence search implementation: ``"bcast"`` (fused XLA
+        broadcast), ``"matmul"`` (||a||^2+||b||^2-2ab), ``"pallas"`` (tiled
+        fused MXU kernel), or ``"auto"`` (pallas on TPU, bcast elsewhere).
+      scene_tile / model_tile: Pallas NN kernel tile sizes (scene points x
+        model points per grid step).  Replaces the reference's empirically
+        found ``BATCH_SIZE=1280`` scene batching (``src/GPU/compute.cu:7-9``).
+      validate_inputs: if True, enforce the reference's input checks (equal
+        point counts, >=4 points, ``src/cpu.cc:42-53``).  The equal-count
+        restriction is an artifact (NN correspondence does not need np==nm);
+        disable to register e.g. the bunny views.
+      with_scale: estimate the similarity scale factor (reference always does);
+        False gives rigid (SE(3)) alignment for SLAM use.
+    """
+
+    max_iter: int = 200
+    threshold: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    acc_dtype: jnp.dtype = jnp.float32
+    reference_compat: bool = True
+    solver: str = "auto"
+    nn_method: str = "auto"
+    scene_tile: int = 512
+    model_tile: int = 1024
+    validate_inputs: bool = True
+    with_scale: bool = True
+    mesh_shape: Optional[Tuple[int, ...]] = None
+
+    def resolved_solver(self, backend: str) -> str:
+        if self.solver != "auto":
+            return self.solver
+        return "qcp" if backend == "tpu" else "eigh"
+
+    def resolved_nn_method(self, backend: str) -> str:
+        if self.nn_method != "auto":
+            return self.nn_method
+        return "pallas" if backend == "tpu" else "bcast"

@@ -1,0 +1,175 @@
+"""Fused tiled nearest-neighbor Pallas kernel — the flagship compute kernel.
+
+TPU-native replacement for the reference's optimized CUDA correspondence path
+(``compute_distance`` + ``find_Y`` + the memory-adaptive 1280-column batching
+orchestrator, ``src/GPU/compute.cu:94-245``).  Differences by design:
+
+  * The reference materializes a ``batch x nm`` distance matrix in GPU memory
+    per wave, then runs a serial-argmin kernel over it.  Here the grid runs
+    over (scene-tile i, model-tile j); each step computes a ``TN x TM``
+    distance tile *in VMEM* via the MXU matmul expansion and folds a running
+    (best distance, best index) carry into the output block — the N x M
+    matrix never exists, in any memory (the online-softmax / blockwise-
+    attention pattern, SURVEY.md §5 "long-context analog").
+  * The distance used is ``||m||^2 - 2 p.m`` (the ``||p||^2`` term is
+    constant per scene point and cannot affect the argmin).  Squared distance
+    is the reference contract (``src/GPU/compute.cu:117``).
+  * Ties resolve to the lowest model index (reference ``compute.cu:137``):
+    within a tile via a masked index-min, across tiles via strict-< folding
+    in ascending j.
+  * Coordinates are zero-padded from 3 to 8 lanes so the cross term maps onto
+    the MXU; padded model rows get ``+BIG`` norms so they never win.
+
+Grid iteration order on TPU is row-major (j fastest), so the output block for
+scene tile i stays resident in VMEM across all j — the carry costs no HBM
+traffic.  The reference's ``BATCH_SIZE=1280`` "fill GPU until malloc fails"
+scheme (``compute.cu:154-245``) is replaced by static BlockSpec tiling chosen
+at trace time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_COORD_LANES = 8  # 3 coords zero-padded to 8 sublane-friendly lanes
+_BIG = jnp.float32(3.0e38)  # sentinel distance for padded model points
+
+
+def _nn_kernel(p_ref, mt_ref, mnorm_ref, dist_ref, idx_ref):
+    j = pl.program_id(1)
+    tm = mt_ref.shape[1]
+
+    # Distance tile on the MXU: d[a, b] = ||m_b||^2 - 2 p_a . m_b
+    prod = jnp.dot(p_ref[:], mt_ref[:], preferred_element_type=jnp.float32)
+    d = mnorm_ref[:] - 2.0 * prod  # (TN, TM); mnorm broadcasts from (1, TM)
+
+    # Fused min+argmin along the model axis, first-occurrence (lowest index)
+    # tie-breaking: min, then min of indices over the argmin set.
+    local_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
+    masked = jnp.where(d == local_min, col, jnp.int32(2**31 - 1))
+    local_arg = jnp.min(masked, axis=1, keepdims=True)  # (TN, 1) local index
+    gidx = local_arg + j * tm
+
+    @pl.when(j == 0)
+    def _init():
+        dist_ref[:] = local_min
+        idx_ref[:] = gidx
+
+    @pl.when(j > 0)
+    def _fold():
+        better = local_min < dist_ref[:]  # strict <: earlier tile wins ties
+        dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
+        idx_ref[:] = jnp.where(better, gidx, idx_ref[:])
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scene_tile", "model_tile", "interpret", "with_dist")
+)
+def _closest_pallas(
+    scene,
+    model,
+    *,
+    scene_tile: int,
+    model_tile: int,
+    interpret: bool,
+    with_dist: bool,
+):
+    n, d = scene.shape
+    m = model.shape[0]
+    assert d == 3, f"expected 3-D points, got {d}"
+    dt = jnp.float32
+    scene = scene.astype(dt)
+    model = model.astype(dt)
+
+    tn = min(scene_tile, _round_up(n, 8))
+    tm = min(model_tile, _round_up(m, 128))
+    n_pad = _round_up(n, tn)
+    m_pad = _round_up(m, tm)
+
+    scene_p = jnp.zeros((n_pad, _COORD_LANES), dt).at[:n, :3].set(scene)
+    model_p = jnp.zeros((m_pad, _COORD_LANES), dt).at[:m, :3].set(model)
+    model_t = model_p.T  # (8, Mp)
+    mnorm = jnp.full((1, m_pad), _BIG, dt).at[0, :m].set(jnp.sum(model * model, axis=1))
+
+    grid = (n_pad // tn, m_pad // tm)
+    out_dist, out_idx = pl.pallas_call(
+        _nn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, _COORD_LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_COORD_LANES, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), dt),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scene_p, model_t, mnorm)
+
+    idx = out_idx[:n, 0]
+    if not with_dist:
+        return idx
+    # Recover the true squared distance by adding back the ||p||^2 term.
+    d2 = out_dist[:n, 0] + jnp.sum(scene * scene, axis=1)
+    return idx, d2
+
+
+def closest_point_indices_pallas(
+    scene: jax.Array,
+    model: jax.Array,
+    *,
+    scene_tile: int = 512,
+    model_tile: int = 1024,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Nearest-model-point indices for each scene point — fused Pallas kernel.
+
+    ``interpret=None`` auto-selects: compiled on TPU, interpreter elsewhere
+    (which is how the CPU test suite exercises the kernel, SURVEY.md §4b).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _closest_pallas(
+        scene,
+        model,
+        scene_tile=scene_tile,
+        model_tile=model_tile,
+        interpret=interpret,
+        with_dist=False,
+    )
+
+
+def closest_point_with_distances_pallas(
+    scene: jax.Array,
+    model: jax.Array,
+    *,
+    scene_tile: int = 512,
+    model_tile: int = 1024,
+    interpret: bool | None = None,
+):
+    """(indices, true squared distances) variant for diagnostics/SLAM gating."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _closest_pallas(
+        scene,
+        model,
+        scene_tile=scene_tile,
+        model_tile=model_tile,
+        interpret=interpret,
+        with_dist=True,
+    )

@@ -1,0 +1,251 @@
+"""Sharded multi-chip ICP: scene and model partitioned over a device mesh.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §2); this is
+the scaling layer it lacks, designed TPU-first:
+
+  * Scene points are sharded over the 1-D ``points`` mesh axis; every chip
+    owns ``N / n_dev`` scene rows for the whole run (zero resharding).
+  * Model points are likewise sharded.  The NN search folds over model shards
+    with a **ring schedule**: each step computes local (distance, argmin)
+    against the currently-held model shard, folds it into a running carry
+    (with global indices and lowest-global-index tie-breaking), then
+    ``ppermute``s the shard to the next neighbor over ICI.  Peak memory per
+    chip is O(N/n + M/n); the matched points are gathered *during* the fold
+    (the winning rows are in-VMEM at fold time), so no global gather is ever
+    needed — SURVEY.md §7 "hard part #1".
+  * Centroids / cross-covariance / scale energies / error are computed from
+    masked local partial sums + one fused ``psum`` (``AlignmentStats`` is a
+    pytree of plain sums by construction).  The 4x4 Horn solve then runs
+    replicated on every chip — microseconds of redundant compute instead of
+    the reference's per-iteration device->host round trip
+    (``src/GPU/gpu.cc:113``).
+  * The whole convergence loop is one ``lax.while_loop`` *inside* shard_map:
+    one compiled program per run, collectives riding ICI each iteration.
+
+An ``all_gather`` variant (model replicated before the loop) is provided for
+small models where the ring's latency is not worth it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from icp_tpu.config import ICPConfig
+from icp_tpu.engine.icp import ICPResult
+from icp_tpu.ops.alignment import AlignmentStats, alignment_from_stats
+from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
+from icp_tpu.parallel.mesh import POINTS_AXIS, make_mesh
+
+_INT_MAX = jnp.int32(2**31 - 1)
+_BIG = 3.0e38
+
+
+def _local_partial_argmin(p_loc: jax.Array, m_cur: jax.Array):
+    """Per scene point: (partial distance, argmin) against one model shard.
+
+    Distance is ``||m||^2 - 2 p.m`` — the ||p||^2 term is constant per scene
+    point and identical across shards, so dropping it preserves both the
+    argmin and cross-shard tie comparisons.
+    """
+    cross = jnp.matmul(p_loc, m_cur.T, precision=jax.lax.Precision.HIGHEST)
+    d = jnp.sum(m_cur * m_cur, axis=1)[None, :] - 2.0 * cross
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    dmin = jnp.take_along_axis(d, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return dmin, idx
+
+
+def _masked_stats(p, y, w, axis: str) -> AlignmentStats:
+    """Global AlignmentStats from masked local rows via one psum."""
+    pw = p * w[:, None]
+    local = AlignmentStats(
+        sum_p=jnp.sum(pw, axis=0),
+        sum_y=jnp.sum(y * w[:, None], axis=0),
+        sum_py=jnp.matmul(pw.T, y, precision=jax.lax.Precision.HIGHEST),
+        sum_pp=jnp.sum(w * jnp.sum(p * p, axis=1)),
+        sum_yy=jnp.sum(w * jnp.sum(y * y, axis=1)),
+        n=jnp.sum(w),
+    )
+    return jax.tree.map(lambda x: jax.lax.psum(x, axis), local)
+
+
+def _ring_correspond(p_loc, m_loc, *, axis: str, n_dev: int):
+    """Ring NN fold: returns (matched model points, validity mask ignored).
+
+    Each of the ``n_dev`` hops: fold local argmin vs the held shard, then
+    pass the shard one neighbor to the right (ICI ring).
+    """
+    m_shard = m_loc.shape[0]
+    my = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def body(k, carry):
+        best_d, best_i, best_pt, m_cur = carry
+        # owner of the held shard (all int32 to keep lax.rem happy on x64)
+        src = jax.lax.rem(
+            my.astype(jnp.int32) - k.astype(jnp.int32) + jnp.int32(n_dev),
+            jnp.int32(n_dev),
+        )
+        d, idx_local = _local_partial_argmin(p_loc, m_cur)
+        gi = idx_local + src * m_shard
+        pt = jnp.take(m_cur, idx_local, axis=0)
+        better = jnp.logical_or(
+            d < best_d, jnp.logical_and(d == best_d, gi < best_i)
+        )
+        best_d = jnp.where(better, d, best_d)
+        best_i = jnp.where(better, gi, best_i)
+        best_pt = jnp.where(better[:, None], pt, best_pt)
+        # Rotate the model shard around the ring (skipped result on last hop
+        # is dead code XLA can elide; keeping it unconditional stays fusable).
+        m_cur = jax.lax.ppermute(m_cur, axis, perm)
+        return best_d, best_i, best_pt, m_cur
+
+    init = (
+        jnp.full((p_loc.shape[0],), _BIG, p_loc.dtype),
+        jnp.full((p_loc.shape[0],), _INT_MAX, jnp.int32),
+        jnp.zeros_like(p_loc),
+        m_loc,
+    )
+    _, best_i, best_pt, _ = jax.lax.fori_loop(0, n_dev, body, init)
+    return best_pt, best_i
+
+
+def _allgather_correspond(p_loc, m_loc, *, axis: str, n_dev: int):
+    """Small-model variant: gather the full model once, local NN."""
+    m_full = jax.lax.all_gather(m_loc, axis, tiled=True)
+    d, idx = _local_partial_argmin(p_loc, m_full)
+    return jnp.take(m_full, idx, axis=0), idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "max_iter",
+        "solver",
+        "with_scale",
+        "reference_compat",
+        "ring",
+    ),
+)
+def _icp_sharded_jit(
+    model_pad,
+    scene_pad,
+    scene_mask,
+    threshold,
+    *,
+    mesh: Mesh,
+    max_iter: int,
+    solver: str,
+    with_scale: bool,
+    reference_compat: bool,
+    ring: bool,
+):
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    dt = scene_pad.dtype
+    correspond = _ring_correspond if ring else _allgather_correspond
+
+    def local_icp(m_loc, p_loc, w_loc):
+        def cond(carry):
+            _, _, err, it = carry
+            return jnp.logical_and(it < max_iter, err >= threshold)
+
+        def body(carry):
+            p, sim_tot, _, it = carry
+            y, _ = correspond(p, m_loc, axis=axis, n_dev=n_dev)
+            stats = _masked_stats(p, y, w_loc, axis)
+            sim = alignment_from_stats(stats, solver=solver, with_scale=with_scale)
+            p_new = apply_similarity(p, sim)
+            derr = y - p_new
+            err_sum = jax.lax.psum(jnp.sum(w_loc * jnp.sum(derr * derr, axis=1)), axis)
+            err = (2.0 * err_sum / stats.n) if reference_compat else (err_sum / stats.n)
+            return p_new, compose(sim_tot, sim), err, it + 1
+
+        init = (
+            p_loc,
+            identity_similarity(dt),
+            jnp.asarray(jnp.inf, dt),
+            jnp.asarray(0, jnp.int32),
+        )
+        p, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
+        return p, sim_tot, err, it
+
+    shard = PartitionSpec(axis, None)
+    mask_spec = PartitionSpec(axis)
+    rep = PartitionSpec()
+    p, sim_tot, err, it = jax.shard_map(
+        local_icp,
+        mesh=mesh,
+        in_specs=(shard, shard, mask_spec),
+        out_specs=(shard, rep, rep, rep),
+        check_vma=False,
+    )(model_pad, scene_pad, scene_mask)
+    return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
+
+
+def _pad_rows(arr: np.ndarray, mult: int, fill: float) -> np.ndarray:
+    n = arr.shape[0]
+    n_pad = -(-n // mult) * mult
+    if n_pad == n:
+        return arr
+    pad = np.full((n_pad - n, arr.shape[1]), fill, arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def icp_sharded(
+    model,
+    scene,
+    config: Optional[ICPConfig] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    ring: bool = True,
+) -> ICPResult:
+    """Multi-chip ICP over a ``points`` mesh.  API-compatible with
+    ``icp_tpu.icp``; returns the same ``ICPResult`` (points un-padded)."""
+    cfg = config or ICPConfig()
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+
+    model_np = np.asarray(model, np.dtype(cfg.dtype))
+    scene_np = np.asarray(scene, np.dtype(cfg.dtype))
+    n = scene_np.shape[0]
+
+    # Pad: scene rows -> masked out of all reductions; model rows -> placed
+    # at +_BIG/2 coordinates so they can never be a nearest neighbor.
+    scene_pad = _pad_rows(scene_np, n_dev, 0.0)
+    model_pad = _pad_rows(model_np, n_dev, 1.0e17)
+    mask = np.zeros((scene_pad.shape[0],), np.dtype(cfg.dtype))
+    mask[:n] = 1.0
+
+    shard = NamedSharding(mesh, PartitionSpec(axis, None))
+    mask_shard = NamedSharding(mesh, PartitionSpec(axis))
+    model_d = jax.device_put(model_pad, shard)
+    scene_d = jax.device_put(scene_pad, shard)
+    mask_d = jax.device_put(mask, mask_shard)
+
+    backend = jax.default_backend()
+    res = _icp_sharded_jit(
+        model_d,
+        scene_d,
+        mask_d,
+        jnp.asarray(cfg.threshold, cfg.dtype),
+        mesh=mesh,
+        max_iter=cfg.max_iter,
+        solver=cfg.resolved_solver(backend),
+        with_scale=cfg.with_scale,
+        reference_compat=cfg.reference_compat,
+        ring=ring,
+    )
+    return ICPResult(
+        points=res.points[:n],
+        transform=res.transform,
+        err=res.err,
+        iters=res.iters,
+    )

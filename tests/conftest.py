@@ -1,0 +1,53 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The axon sitecustomize pins JAX_PLATFORMS=axon (single real TPU chip); for
+tests we override to CPU *before any backend is queried* and fan out 8 virtual
+devices so the sharded paths are exercised without a pod
+(SURVEY.md §4: the "fake backend" the reference lacks).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Float64 available for oracle-parity tests (library code always passes
+# explicit dtypes, so this does not change the f32 fast paths under test).
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+def data_path(name: str) -> str:
+    return os.path.join(DATA_DIR, name)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def cow_pair():
+    from icp_tpu.io.csv import load_matrix
+
+    ref = load_matrix(data_path("cow_ref.txt"))
+    tr1 = load_matrix(data_path("cow_tr1.txt"))
+    return ref, tr1
+
+
+def random_rotation(rng: np.random.Generator) -> np.ndarray:
+    """Uniform random rotation via QR of a gaussian matrix."""
+    A = rng.standard_normal((3, 3))
+    Q, R = np.linalg.qr(A)
+    Q = Q @ np.diag(np.sign(np.diag(R)))
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] = -Q[:, 0]
+    return Q

@@ -1,0 +1,70 @@
+"""CSV I/O contract tests (reference src/load.cc:3-97 semantics)."""
+
+import numpy as np
+import pytest
+
+from icp_tpu.io.csv import load_matrix, write_matrix
+from tests.conftest import data_path
+
+
+def test_load_cow_shape():
+    ref = load_matrix(data_path("cow_ref.txt"))
+    assert ref.shape == (2903, 3)  # 2904 lines - 1 header
+    assert ref.dtype == np.float64
+    np.testing.assert_allclose(ref[0], [0.605538, 0.183122, -0.472278])
+
+
+def test_load_ignores_extra_columns():
+    # cow_tr2.txt has 5 columns (Points_Magnitude, Point ID) — first 3 only.
+    tr2 = load_matrix(data_path("cow_tr2.txt"))
+    assert tr2.shape == (2903, 3)
+    np.testing.assert_allclose(tr2[0], [0.901687, 0.399705, -0.511128])
+
+
+def test_load_missing_file_exits_2(tmp_path):
+    with pytest.raises(SystemExit) as exc:
+        load_matrix(str(tmp_path / "nope.txt"), use_native=False)
+    assert exc.value.code == 2
+
+
+def test_load_unparsable_fields_default_zero(tmp_path):
+    # sscanf semantics: fields that fail to parse stay 0.0.
+    f = tmp_path / "weird.txt"
+    f.write_text("h1,h2,h3\n1.5,abc,2.5\n,,\n3.0\n")
+    arr = load_matrix(str(f), use_native=False)
+    np.testing.assert_allclose(arr, [[1.5, 0.0, 0.0], [0.0, 0.0, 0.0], [3.0, 0.0, 0.0]])
+
+
+def test_write_roundtrip(tmp_path):
+    pts = np.array([[0.605538, 0.183122, -0.472278], [1.0, -2.0, 3.0]])
+    out = str(tmp_path / "out.txt")
+    write_matrix(pts, out)
+    lines = open(out).read().splitlines()
+    assert lines[0] == "Points_0,Points_1,Points_2"
+    assert lines[1] == "0.605538,0.183122,-0.472278"  # %g, 6 significant digits
+    assert lines[2] == "1,-2,3"
+    back = load_matrix(out, use_native=False)
+    np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+def test_native_loader_matches_python():
+    from icp_tpu.io import native
+
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    a = native.try_load(data_path("cow_tr2.txt"))
+    b = load_matrix(data_path("cow_tr2.txt"), use_native=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_writer_matches_python(tmp_path):
+    from icp_tpu.io import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    pts = np.array([[0.605538, 0.183122, -0.472278], [1.0, -2.0, 3.0]])
+    py_out, nat_out = str(tmp_path / "py.txt"), str(tmp_path / "nat.txt")
+    write_matrix(pts, py_out)
+    assert native.try_write(pts, nat_out)
+    assert open(py_out).read() == open(nat_out).read()

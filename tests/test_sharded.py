@@ -1,0 +1,112 @@
+"""Sharded-engine tests on the virtual 8-device CPU mesh: ring == all-gather
+== single-device, masking of padded rows, and unequal/odd point counts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icp_tpu import ICPConfig, icp
+from icp_tpu.parallel.mesh import make_mesh
+from icp_tpu.parallel.sharded import icp_sharded
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must fan out 8 CPU devices"
+    return make_mesh()
+
+
+def _cfg(**kw):
+    base = dict(max_iter=20, dtype=jnp.float64, solver="eigh", nn_method="bcast")
+    base.update(kw)
+    return ICPConfig(**base)
+
+
+def test_sharded_matches_single_device(cow_pair, mesh8):
+    ref, tr1 = cow_pair
+    ref, tr1 = np.ascontiguousarray(ref[::10]), np.ascontiguousarray(tr1[::10])
+    single = icp(ref, tr1, _cfg())
+    for ring in (True, False):
+        sharded = icp_sharded(ref, tr1, _cfg(), mesh=mesh8, ring=ring)
+        assert int(sharded.iters) == int(single.iters), f"ring={ring}"
+        np.testing.assert_allclose(
+            np.asarray(sharded.points), np.asarray(single.points), atol=1e-9,
+            err_msg=f"ring={ring}",
+        )
+        np.testing.assert_allclose(
+            float(sharded.err), float(single.err), rtol=1e-9
+        )
+
+
+def test_sharded_odd_counts_padding(mesh8, rng):
+    # 291 scene points and 1037 model points: neither divides 8 — exercises
+    # both the scene mask and the far-away model padding.
+    p = rng.standard_normal((291, 3))
+    R = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+    if np.linalg.det(R) < 0:
+        R[:, 0] = -R[:, 0]
+    model = rng.standard_normal((1037, 3))
+    scene = 1.4 * (model[:291] @ R.T) + np.array([0.2, -0.4, 0.6])
+    cfg = _cfg(validate_inputs=False, max_iter=40)
+    sharded = icp_sharded(model, scene, cfg, mesh=mesh8, ring=True)
+    single = icp(model, scene, cfg)
+    assert int(sharded.iters) == int(single.iters)
+    np.testing.assert_allclose(
+        np.asarray(sharded.points), np.asarray(single.points), atol=1e-8
+    )
+
+
+def test_ring_correspondence_global_indices(mesh8, rng):
+    """The ring fold must produce the same matched points as the oracle
+    (global-index correctness with sharded model)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from icp_tpu.parallel.sharded import _ring_correspond
+
+    p = rng.standard_normal((64, 3))
+    m = rng.standard_normal((160, 3))
+    want = oracle.closest_indices(p, m)
+
+    axis = mesh8.axis_names[0]
+
+    def run(p_loc, m_loc):
+        pt, gi = _ring_correspond(p_loc, m_loc, axis=axis, n_dev=8)
+        return pt, gi
+
+    shard = PartitionSpec(axis, None)
+    pt, gi = jax.jit(
+        jax.shard_map(
+            run,
+            mesh=mesh8,
+            in_specs=(shard, shard),
+            out_specs=(shard, PartitionSpec(axis)),
+            check_vma=False,
+        )
+    )(jnp.asarray(p), jnp.asarray(m))
+    np.testing.assert_array_equal(np.asarray(gi), want)
+    np.testing.assert_allclose(np.asarray(pt), m[want], rtol=1e-12)
+
+
+def test_ring_tie_breaks_to_lowest_global_index(mesh8):
+    from jax.sharding import PartitionSpec
+
+    from icp_tpu.parallel.sharded import _ring_correspond
+
+    # All model points identical: every scene point must match global index 0,
+    # whichever shard the fold visits first.
+    p = np.tile(np.array([[1.0, 2.0, 3.0]]), (16, 1))
+    m = np.ones((80, 3))
+    axis = mesh8.axis_names[0]
+    shard = PartitionSpec(axis, None)
+    _, gi = jax.jit(
+        jax.shard_map(
+            lambda pl_, ml_: _ring_correspond(pl_, ml_, axis=axis, n_dev=8),
+            mesh=mesh8,
+            in_specs=(shard, shard),
+            out_specs=(shard, PartitionSpec(axis)),
+            check_vma=False,
+        )
+    )(jnp.asarray(p), jnp.asarray(m))
+    np.testing.assert_array_equal(np.asarray(gi), np.zeros(16, np.int32))
