@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: ICP iterations/s per chip on the cow pair.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline = the reference's best engine (GPU-opti on GTX 1050): 20 ICP
+iterations of the cow pair in 107 ms => ~187 iter/s (BASELINE.md).
+
+Timing protocol: the full fixed-iteration ICP loop (correspondence + Horn
+alignment + fused apply/error per iteration, all on device) timed at two
+iteration counts and differenced — this cancels host<->device sync latency
+(the axon tunnel costs ~35 ms per forced fetch and its block_until_ready is
+async) and measures true per-iteration device throughput.  A convergence run
+is also executed to assert the result is correct (err < 1e-5, the reference's
+threshold) before any number is reported.
+"""
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from icp_tpu.bench.harness import load_cow, wall_time
+    from icp_tpu.config import ICPConfig
+    from icp_tpu.engine.icp import icp, icp_fixed_iters
+
+    ref_np, tr1_np = load_cow()
+    ref = jnp.asarray(ref_np, jnp.float32)
+    tr1 = jnp.asarray(tr1_np, jnp.float32)
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    solver = "qcp" if on_tpu else "eigh"
+    nn_method = "pallas" if on_tpu else "bcast"
+
+    # Correctness gate: must converge within the reference threshold.
+    res = icp(
+        ref_np,
+        tr1_np,
+        ICPConfig(max_iter=30, solver=solver, nn_method=nn_method),
+    )
+    err = float(res.err)
+    iters = int(res.iters)
+    print(f"[bench] convergence gate: err={err:.3e} iters={iters}", file=sys.stderr)
+    if not (err < 1e-5):
+        print(json.dumps({"metric": "icp_iter_per_s_cow", "value": 0.0,
+                          "unit": "iter/s", "vs_baseline": 0.0,
+                          "error": f"did not converge: err={err}"}))
+        return 1
+
+    def timed_loop(k):
+        def run():
+            out = icp_fixed_iters(
+                ref, tr1, n_iters=k, solver=solver, nn_method=nn_method
+            )
+            float(out.err)  # force completion through the async tunnel
+
+        return wall_time(run)
+
+    t20 = timed_loop(20)
+    t520 = timed_loop(520)
+    per_iter = (t520 - t20) / 500
+    value = 1.0 / per_iter
+    print(
+        f"[bench] 20-iter wall={t20*1e3:.1f} ms, per-iter={per_iter*1e6:.1f} us "
+        f"(backend={backend}, nn={nn_method}, solver={solver})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "icp_iter_per_s_cow",
+                "value": round(value, 1),
+                "unit": "iter/s",
+                "vs_baseline": round(value / 187.0, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

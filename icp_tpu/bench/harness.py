@@ -1,0 +1,206 @@
+"""Benchmark harness — the reference's 14-benchmark matrix, TPU-native.
+
+Reference counterpart: ``src/bench.cc:391-447`` (Google Benchmark over
+{CPU, GPU-naive, GPU-opti} x {full loop, closest, find_alignment, centroid,
+err_compute, err_compute_alignment} on the cow pair, ``frame_rate`` counters).
+Here each op is benchmarked as a jitted program on the current backend, with
+two timing protocols:
+
+  * ``amortized`` (default on TPU): run the op inside an on-device scan of
+    K iterations and difference two K values.  This cancels both the host
+    sync RTT (the axon tunnel's block_until_ready is asynchronous, ~35ms
+    per sync) and dispatch overhead — it measures true device time.
+  * ``wall``: plain best-of-N wall time with a forced scalar fetch — what a
+    user sees per call.
+
+Outputs one JSON object per benchmark on stdout (stderr carries progress),
+mirroring the reference's stdout-metrics/stderr-logs split (``README.md:84``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_cow():
+    from icp_tpu.io.csv import load_matrix
+
+    d = os.path.join(repo_root(), "data")
+    ref = load_matrix(os.path.join(d, "cow_ref.txt"))
+    tr1 = load_matrix(os.path.join(d, "cow_tr1.txt"))
+    return ref, tr1
+
+
+def amortized_op_time(fn, args, n_small: int = 20, n_big: int = 520, reps: int = 3):
+    """Per-call device time of ``fn(*args, carry)`` via scan differencing.
+
+    ``fn`` must fold its carry argument into its inputs (e.g. ``p + c*1e-20``)
+    so XLA cannot hoist the body out of the loop.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(n, *a):
+        def body(c, _):
+            out = fn(*a, c)
+            leaf = jax.tree.leaves(out)[0]
+            return c + jnp.sum(leaf).astype(jnp.float32) * 1e-12, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return c
+
+    for n in (n_small, n_big):
+        float(loop(n, *args))  # compile + warm (forced fetch)
+    t = {}
+    for n in (n_small, n_big):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(loop(n, *args))
+            best = min(best, time.perf_counter() - t0)
+        t[n] = best
+    return (t[n_big] - t[n_small]) / (n_big - n_small)
+
+
+def wall_time(fn, reps: int = 5):
+    """Best-of-reps wall time of ``fn()`` (must force completion itself)."""
+    fn()  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+_EPS = 1e-20
+
+
+def benchmark_matrix(n_iters: int = 20, include=None):
+    """Run the op-level matrix; returns a list of result dicts."""
+    import jax
+    import jax.numpy as jnp
+
+    from icp_tpu.engine.icp import icp_fixed_iters
+    from icp_tpu.kernels.nn_pallas import closest_point_indices_pallas
+    from icp_tpu.ops.alignment import (
+        alignment_from_stats,
+        compute_alignment_stats,
+    )
+    from icp_tpu.ops.distance import (
+        closest_point_indices_bcast,
+        closest_point_indices_matmul,
+    )
+    from icp_tpu.ops.transform import apply_and_error, identity_similarity
+
+    ref_np, tr1_np = load_cow()
+    ref = jnp.asarray(ref_np, jnp.float32)
+    tr1 = jnp.asarray(tr1_np, jnp.float32)
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+
+    def nn_bcast(m, p, c):
+        return closest_point_indices_bcast(p + c * _EPS, m)
+
+    def nn_matmul(m, p, c):
+        return closest_point_indices_matmul(p + c * _EPS, m)
+
+    def nn_pallas(m, p, c):
+        return closest_point_indices_pallas(p + c * _EPS, m)
+
+    def find_alignment(m, p, c):
+        pp = p + c * _EPS
+        return alignment_from_stats(
+            compute_alignment_stats(pp, m), solver="qcp" if on_tpu else "eigh"
+        )
+
+    def centroid(m, p, c):
+        return jnp.mean(p + c * _EPS, axis=0)
+
+    def err_compute(m, p, c):
+        sim = identity_similarity(jnp.float32)
+        return apply_and_error(p + c * _EPS, m, sim)[1]
+
+    ops = {
+        "closest_bcast": nn_bcast,
+        "closest_matmul": nn_matmul,
+        "find_alignment": find_alignment,
+        "compute_centroid": centroid,
+        "err_compute": err_compute,
+    }
+    if on_tpu:
+        ops["closest_pallas"] = nn_pallas
+
+    results = []
+    for name, fn in ops.items():
+        if include and name not in include:
+            continue
+        _progress(f"op {name} ...")
+        per = amortized_op_time(fn, (ref, tr1))
+        results.append(
+            dict(benchmark=name, time_us=per * 1e6, rate_per_s=1.0 / per)
+        )
+        _progress(f"op {name}: {per*1e6:.1f} us")
+
+    # Full fixed-iteration loop (the headline): amortized over iteration count.
+    nn_method = "bcast"
+    solver = "qcp" if on_tpu else "eigh"
+
+    def timed_loop(k):
+        def run():
+            res = icp_fixed_iters(
+                ref, tr1, n_iters=k, solver=solver, nn_method=nn_method
+            )
+            float(res.err)
+
+        return wall_time(run)
+
+    if not include or "full_loop" in include:
+        _progress("full loop ...")
+        t_small = timed_loop(n_iters)
+        t_big = timed_loop(n_iters + 500)
+        per_iter = (t_big - t_small) / 500
+        results.append(
+            dict(
+                benchmark="full_loop_per_iter",
+                time_us=per_iter * 1e6,
+                rate_per_s=1.0 / per_iter,
+                wall_20_iters_ms=t_small * 1e3,
+            )
+        )
+        _progress(
+            f"full loop: {per_iter*1e6:.1f} us/iter "
+            f"({1/per_iter:.0f} iter/s device-side; "
+            f"20-iter wall {t_small*1e3:.1f} ms)"
+        )
+    return results
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="icp-bench")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args(argv)
+    for r in benchmark_matrix(n_iters=args.iters, include=args.only):
+        print(json.dumps(r))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

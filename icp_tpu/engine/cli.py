@@ -1,0 +1,118 @@
+"""Command-line interface mirroring the reference binaries.
+
+Reference surface (``src/main.cc:6-25``, ``src/GPU/main.cc:3-21``):
+  ``./icp [path_to_ref_cloud] [path_to_transform_cloud] [nb_iter]``
+  * missing args  -> usage on stdout, exit status of ``return -1`` (255)
+  * unopenable file -> ``[load] ...`` on stderr, exit 2
+  * per-iteration  ``[ICP] iteration number i | error value = e`` on stderr
+  * result cloud -> ``output.txt`` (+ ``[output] ...`` notice on stderr)
+
+Extras beyond the reference (flags, all optional): ``--threshold``,
+``--solver``, ``--nn``, ``--dtype``, ``--no-scale``, ``--no-validate``,
+``--output``, ``--mse`` (plain-MSE error metric), ``--sharded`` (multi-chip),
+``--checkpoint`` (save (s, R, t, iter, err) npz).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="icp",
+        usage="icp [path_to_ref_cloud] [path_to_transform_cloud] [nb_iter]",
+        description="TPU-native ICP point-cloud registration",
+    )
+    p.add_argument("ref", help="reference (model) cloud CSV")
+    p.add_argument("scene", help="cloud to transform CSV")
+    p.add_argument("nb_iter", type=int, help="max iterations")
+    p.add_argument("--threshold", type=float, default=1e-5)
+    p.add_argument("--solver", default="auto", choices=["auto", "eigh", "qcp", "kabsch"])
+    p.add_argument("--nn", default="auto", choices=["auto", "bcast", "matmul", "pallas"])
+    p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    p.add_argument("--no-scale", action="store_true", help="rigid (SE3) alignment")
+    p.add_argument("--no-validate", action="store_true",
+                   help="lift the np==nm reference restriction")
+    p.add_argument("--mse", action="store_true",
+                   help="report plain MSE instead of the reference's 2x metric")
+    p.add_argument("--output", default="output.txt")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard points over all available devices")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="save transform state (s, R, t, iter, err) as npz")
+    return p
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 3:
+        # Reference parity: usage on STDOUT, return -1 (src/main.cc:8-12).
+        print("Usage: icp [path_to_ref_cloud] [path_to_transform_cloud] [nb_iter]")
+        return -1
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from icp_tpu.config import ICPConfig
+    from icp_tpu.engine.icp import icp
+    from icp_tpu.io.csv import load_matrix, write_matrix
+
+    model = load_matrix(args.ref)
+    scene = load_matrix(args.scene)
+
+    cfg = ICPConfig(
+        max_iter=args.nb_iter,
+        threshold=args.threshold,
+        dtype=jnp.float64 if args.dtype == "float64" else jnp.float32,
+        solver=args.solver,
+        nn_method=args.nn,
+        with_scale=not args.no_scale,
+        validate_inputs=not args.no_validate,
+        reference_compat=not args.mse,
+    )
+
+    try:
+        if args.sharded:
+            from icp_tpu.parallel.sharded import icp_sharded
+
+            # Sharded path reports the final error (no on-device trace yet).
+            res = icp_sharded(model, scene, cfg)
+            errs, iters = None, int(res.iters)
+        else:
+            tr = icp(model, scene, cfg, trace=True)
+            res = tr.result
+            iters = int(res.iters)
+            errs = np.asarray(tr.errs)[:iters]
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return -1
+
+    if errs is not None:
+        # Reference's per-iteration stderr log (src/cpu.cc:61,74).
+        for i, e in enumerate(errs):
+            print(f"[ICP] iteration number {i} | error value = {e:g}", file=sys.stderr)
+    else:
+        print(f"[ICP] converged after {iters} iterations | "
+              f"error value = {float(res.err):g}", file=sys.stderr)
+
+    write_matrix(np.asarray(res.points), args.output)
+
+    if args.checkpoint:
+        from icp_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            args.checkpoint,
+            transform=res.transform,
+            iteration=iters,
+            err=float(res.err),
+        )
+        print(f"[checkpoint] saved to {args.checkpoint}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -268,11 +268,16 @@ def icp(
     config: Optional[ICPConfig] = None,
     *,
     trace: bool = False,
+    guard: bool = False,
 ):
     """Register ``scene`` onto ``model``; both (N, 3) arrays.
 
     Returns ``ICPResult`` (or ``ICPTrace`` when ``trace=True``).  The full
     loop runs as one XLA computation on the default backend.
+
+    ``guard=True`` adds a host-side NaN/divergence check on the result
+    (forces a device sync; the reference has no failure detection at all —
+    SURVEY.md §5).
     """
     cfg = config or ICPConfig()
     model = jnp.asarray(model, cfg.dtype)
@@ -290,5 +295,13 @@ def icp(
     )
     threshold = jnp.asarray(cfg.threshold, cfg.dtype)
     if trace:
-        return _icp_scan_trace(model, scene, threshold, **kwargs)
-    return _icp_while(model, scene, threshold, **kwargs)
+        out = _icp_scan_trace(model, scene, threshold, **kwargs)
+        result = out.result
+    else:
+        out = _icp_while(model, scene, threshold, **kwargs)
+        result = out
+    if guard:
+        from icp_tpu.utils.profiling import check_finite
+
+        check_finite("icp", result.err, result.points)
+    return out

@@ -45,7 +45,16 @@ def _nn_kernel(p_ref, mt_ref, mnorm_ref, dist_ref, idx_ref):
     tm = mt_ref.shape[1]
 
     # Distance tile on the MXU: d[a, b] = ||m_b||^2 - 2 p_a . m_b
-    prod = jnp.dot(p_ref[:], mt_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST precision is required: the MXU's default bf16 operand rounding
+    # perturbs distances by ~1e-2 relative, flipping ~70% of cow argmins
+    # (measured on v5e; interpret mode hides this).
+    prod = jax.lax.dot_general(
+        p_ref[:],
+        mt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     d = mnorm_ref[:] - 2.0 * prod  # (TN, TM); mnorm broadcasts from (1, TM)
 
     # Fused min+argmin along the model axis, first-occurrence (lowest index)

@@ -125,26 +125,40 @@ def _det3(m: jax.Array) -> jax.Array:
     )
 
 
+def _minor3_det(A, rows, cols):
+    """det of the 3x3 minor at static (rows, cols) — pure scalar indexing.
+
+    Deliberately NOT ``A[jnp.array(rows)][:, jnp.array(cols)]``: fancy-index
+    minors lower to gather ops that XLA does not fuse into the scalar chain,
+    turning the 4x4 solve into dozens of kernel dispatches inside the ICP
+    loop.  Scalar reads fuse.
+    """
+    (r0, r1, r2), (c0, c1, c2) = rows, cols
+    return (
+        A[r0, c0] * (A[r1, c1] * A[r2, c2] - A[r1, c2] * A[r2, c1])
+        - A[r0, c1] * (A[r1, c0] * A[r2, c2] - A[r1, c2] * A[r2, c0])
+        + A[r0, c2] * (A[r1, c0] * A[r2, c1] - A[r1, c1] * A[r2, c0])
+    )
+
+
 def _det4(A: jax.Array) -> jax.Array:
-    out = jnp.zeros((), A.dtype)
     rows = (1, 2, 3)
+    out = jnp.zeros((), A.dtype)
     for j in range(4):
         cols = tuple(c for c in range(4) if c != j)
-        minor = A[jnp.array(rows)][:, jnp.array(cols)]
-        out = out + ((-1.0) ** j) * A[0, j] * _det3(minor)
+        out = out + ((-1.0) ** j) * A[0, j] * _minor3_det(A, rows, cols)
     return out
 
 
 def _adjugate4(A: jax.Array) -> jax.Array:
-    """Adjugate of a 4x4 (static unrolled cofactors; branch-free)."""
+    """Adjugate of a 4x4 (static unrolled scalar cofactors; branch-free)."""
     cof_rows = []
     for i in range(4):
         r = tuple(x for x in range(4) if x != i)
         cof_row = []
         for j in range(4):
             c = tuple(x for x in range(4) if x != j)
-            minor = A[jnp.array(r)][:, jnp.array(c)]
-            cof_row.append(((-1.0) ** (i + j)) * _det3(minor))
+            cof_row.append(((-1.0) ** (i + j)) * _minor3_det(A, r, c))
         cof_rows.append(jnp.stack(cof_row))
     cof = jnp.stack(cof_rows)  # cofactor matrix
     return cof.T
@@ -157,7 +171,7 @@ def max_eigvec_eigh(N: jax.Array) -> jax.Array:
 
 
 def max_eigvec_qcp(N: jax.Array, S: jax.Array, gp: jax.Array, gy: jax.Array,
-                   newton_iters: int = 24, power_iters: int = 4) -> jax.Array:
+                   newton_iters: int = 12, power_iters: int = 4) -> jax.Array:
     """Largest eigenvector of Horn's N via QCP-style Newton + adjugate.
 
     N is symmetric traceless, so its characteristic polynomial is
@@ -176,13 +190,18 @@ def max_eigvec_qcp(N: jax.Array, S: jax.Array, gp: jax.Array, gy: jax.Array,
     c0 = _det4(N)
     lam0 = jnp.sqrt(jnp.maximum(gp * gy, 0.0)).astype(dt)
 
-    def newton_step(_, lam):
+    def newton_step(lam):
         p = ((lam * lam + c2) * lam + c1) * lam + c0
         dp = (4.0 * lam * lam + 2.0 * c2) * lam + c1
         dp = jnp.where(jnp.abs(dp) < jnp.finfo(dt).tiny * 4 + 1e-30, 1.0, dp)
         return lam - p / dp
 
-    lam = jax.lax.fori_loop(0, newton_iters, newton_step, lam0)
+    # Unrolled on purpose: a lax.fori_loop here costs ~microseconds PER STEP
+    # of loop overhead on TPU (~160us per ICP iteration all told, measured on
+    # v5e); unrolled, the whole chain is straight-line scalar code.
+    lam = lam0
+    for _ in range(newton_iters):
+        lam = newton_step(lam)
 
     adj = _adjugate4(N - lam * jnp.eye(4, dtype=dt))
     norms = jnp.sum(adj * adj, axis=0)
@@ -192,12 +211,10 @@ def max_eigvec_qcp(N: jax.Array, S: jax.Array, gp: jax.Array, gy: jax.Array,
     B = N + (lam0 + jnp.asarray(1.0, dt)) * jnp.eye(4, dtype=dt)
     v = v + jnp.full((4,), 1e-6, dt)
 
-    def power_step(_, v):
-        w = B @ v
-        return w / jnp.maximum(jnp.linalg.norm(w), jnp.finfo(dt).tiny)
-
-    v = jax.lax.fori_loop(0, power_iters, power_step, v)
-    return v / jnp.maximum(jnp.linalg.norm(v), jnp.finfo(dt).tiny)
+    for _ in range(power_iters):  # unrolled: see the Newton comment above
+        w = jnp.sum(B * v[None, :], axis=1)  # fusable matvec (no tiny matmul)
+        v = w * jax.lax.rsqrt(jnp.maximum(jnp.sum(w * w), jnp.finfo(dt).tiny))
+    return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v), jnp.finfo(dt).tiny))
 
 
 def rotation_kabsch(S: jax.Array) -> jax.Array:
@@ -248,7 +265,9 @@ def alignment_from_stats(
 
     one = jnp.asarray(1.0, S.dtype)
     s = jnp.sqrt(gy / gp) if with_scale else one
-    t = mu_y - s * (R @ mu_p)
+    # fusable 3-vec matvec (a bare 3x3 @ 3 dispatches its own tiny kernel
+    # inside the jitted loop)
+    t = mu_y - s * jnp.sum(R * mu_p[None, :], axis=1)
     return Similarity(s=s, R=R, t=t)
 
 

@@ -61,12 +61,23 @@ def apply_and_error(
     return p_new, jnp.sum(d * d)
 
 
+def _mm3(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Fusable 3x3 @ 3x3 (a bare matmul dispatches a tiny MXU kernel per
+    loop iteration; the broadcast form fuses into the scalar chain)."""
+    return jnp.sum(A[:, :, None] * B[None, :, :], axis=1)
+
+
+def _mv3(A: jax.Array, v: jax.Array) -> jax.Array:
+    """Fusable 3x3 @ 3-vector."""
+    return jnp.sum(A * v[None, :], axis=1)
+
+
 def compose(inner: Similarity, outer: Similarity) -> Similarity:
     """Transform equal to applying ``inner`` first, then ``outer``:
     x -> s_o R_o (s_i R_i x + t_i) + t_o."""
     s = outer.s * inner.s
-    R = outer.R @ inner.R
-    t = outer.s * (outer.R @ inner.t) + outer.t
+    R = _mm3(outer.R, inner.R)
+    t = outer.s * _mv3(outer.R, inner.t) + outer.t
     return Similarity(s=s, R=R, t=t)
 
 
@@ -74,4 +85,4 @@ def inverse(sim: Similarity) -> Similarity:
     """Inverse similarity: x -> (1/s) R^T (x - t)."""
     s_inv = 1.0 / sim.s
     R_inv = sim.R.T
-    return Similarity(s=s_inv, R=R_inv, t=-s_inv * (R_inv @ sim.t))
+    return Similarity(s=s_inv, R=R_inv, t=-s_inv * _mv3(R_inv, sim.t))

@@ -1,0 +1,102 @@
+"""Multi-scan registration CLI: ``icp-slam scan0.txt scan1.txt ... ``
+
+Registers each scan onto its predecessor (unequal point counts fine — the
+bunny workload the reference cannot run), composes world poses, optionally
+refines them with point-level bundle adjustment, and writes every scan
+transformed into scan 0's frame plus a poses checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="icp-slam", description="TPU-native multi-scan registration"
+    )
+    p.add_argument("clouds", nargs="+", help="scan CSVs, in chain order")
+    p.add_argument("--max-iter", type=int, default=60)
+    p.add_argument("--threshold", type=float, default=1e-5)
+    p.add_argument("--subsample", type=int, default=1,
+                   help="use every k-th point for registration (outputs are full)")
+    p.add_argument("--scale", action="store_true",
+                   help="similarity (allow per-pair scale); default rigid")
+    p.add_argument("--refine", action="store_true",
+                   help="bundle-adjust poses after the chain")
+    p.add_argument("--solver", default="auto")
+    p.add_argument("--nn", default="auto")
+    p.add_argument("--output-prefix", default="registered_")
+    p.add_argument("--poses", default="poses.npz")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(sys.argv[1:] if argv is None else argv)
+    if len(args.clouds) < 2:
+        print("need at least 2 scans", file=sys.stderr)
+        return -1
+
+    import jax.numpy as jnp
+
+    from icp_tpu.config import ICPConfig
+    from icp_tpu.io.csv import load_matrix, write_matrix
+    from icp_tpu.ops.transform import apply_similarity
+    from icp_tpu.slam.pairwise import chain_to_world_poses, register_chain
+
+    clouds = [load_matrix(f) for f in args.clouds]
+    reg_clouds = [c[:: args.subsample] for c in clouds]
+
+    cfg = ICPConfig(
+        max_iter=args.max_iter,
+        threshold=args.threshold,
+        solver=args.solver,
+        nn_method=args.nn,
+        with_scale=args.scale,
+        validate_inputs=False,
+    )
+    pairs = register_chain(reg_clouds, cfg)
+    for k, pr in enumerate(pairs):
+        print(
+            f"[slam] pair {k}->{k+1}: iters={pr.iters} err={pr.err:g}",
+            file=sys.stderr,
+        )
+    poses = chain_to_world_poses(pairs)
+
+    if args.refine:
+        from icp_tpu.ops.transform import inverse
+        from icp_tpu.slam.pose_graph import bundle_adjust
+
+        # Correspondences from consecutive pairs: p in frame k+1 matched to
+        # its NN in frame k (using the chain solution as initialization).
+        from icp_tpu.ops.distance import closest_point_indices
+
+        corr = []
+        for k, pr in enumerate(pairs):
+            src = jnp.asarray(reg_clouds[k + 1], jnp.float32)
+            moved = apply_similarity(src, pr.transform)
+            tgt = jnp.asarray(reg_clouds[k], jnp.float32)
+            idx = closest_point_indices(moved, tgt, method="bcast")
+            corr.append((k, k + 1, np.asarray(tgt)[np.asarray(idx)], np.asarray(src)))
+        poses, cost = bundle_adjust(poses, corr, n_iters=8)
+        print(f"[slam] bundle adjust: cost={cost:g}", file=sys.stderr)
+
+    for k, (cloud, pose) in enumerate(zip(clouds, poses)):
+        out = np.asarray(apply_similarity(jnp.asarray(cloud, jnp.float32), pose))
+        write_matrix(out, f"{args.output_prefix}{k}.txt")
+
+    np.savez(
+        args.poses,
+        s=np.stack([np.asarray(p.s) for p in poses]),
+        R=np.stack([np.asarray(p.R) for p in poses]),
+        t=np.stack([np.asarray(p.t) for p in poses]),
+    )
+    print(f"[slam] poses saved to {args.poses}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,77 @@
+"""CLI surface tests (reference src/main.cc contract)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import data_path
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+
+
+def run_cli(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "icp_tpu.engine.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        env=ENV,
+        timeout=600,
+    )
+
+
+def test_usage_on_missing_args(tmp_path):
+    r = run_cli([], tmp_path)
+    assert "Usage:" in r.stdout
+    assert r.returncode == 255  # C return -1
+
+
+def test_missing_file_exit_2(tmp_path):
+    r = run_cli([str(tmp_path / "a.txt"), str(tmp_path / "b.txt"), "5"], tmp_path)
+    assert r.returncode == 2
+    assert "could not be opened" in r.stderr
+
+
+def test_full_run_writes_output(tmp_path):
+    # subsampled cow pair for CPU speed
+    for name in ("cow_ref.txt", "cow_tr1.txt"):
+        src = open(data_path(name)).read().splitlines()
+        (tmp_path / name).write_text("\n".join([src[0]] + src[1::10]) + "\n")
+    r = run_cli(
+        ["cow_ref.txt", "cow_tr1.txt", "30", "--nn", "bcast"], tmp_path
+    )
+    assert r.returncode == 0, r.stderr
+    assert "[ICP] iteration number 0 | error value =" in r.stderr
+    assert '[output] output file "output.txt" was generated.' in r.stderr
+    out = np.loadtxt(tmp_path / "output.txt", delimiter=",", skiprows=1)
+    ref = np.loadtxt(tmp_path / "cow_ref.txt", delimiter=",", skiprows=1)
+    assert out.shape == ref.shape
+    # exact-transform pair: result must land on the reference cloud
+    assert np.abs(out - ref).max() < 1e-3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    for name in ("cow_ref.txt", "cow_tr1.txt"):
+        src = open(data_path(name)).read().splitlines()
+        (tmp_path / name).write_text("\n".join([src[0]] + src[1::20]) + "\n")
+    ck = tmp_path / "state.npz"
+    r = run_cli(
+        ["cow_ref.txt", "cow_tr1.txt", "30", "--nn", "bcast",
+         "--checkpoint", str(ck)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    from icp_tpu.utils.checkpoint import load_checkpoint
+
+    sim, iteration, err, pts = load_checkpoint(str(ck))
+    assert err < 1e-5 and iteration >= 1
+    assert sim.R.shape == (3, 3)
+    # transform replay: applying the checkpointed transform to the scene
+    # must reproduce output.txt
+    scene = np.loadtxt(tmp_path / "cow_tr1.txt", delimiter=",", skiprows=1)
+    out = np.loadtxt(tmp_path / "output.txt", delimiter=",", skiprows=1)
+    replay = float(sim.s) * scene @ np.asarray(sim.R).T + np.asarray(sim.t)
+    assert np.abs(replay - out).max() < 1e-4
