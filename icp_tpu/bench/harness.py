@@ -37,13 +37,17 @@ def repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_cow():
+def load_pair(workload: str = "cow"):
     from icp_tpu.io.csv import load_matrix
 
     d = os.path.join(repo_root(), "data")
-    ref = load_matrix(os.path.join(d, "cow_ref.txt"))
-    tr1 = load_matrix(os.path.join(d, "cow_tr1.txt"))
+    ref = load_matrix(os.path.join(d, f"{workload}_ref.txt"))
+    tr1 = load_matrix(os.path.join(d, f"{workload}_tr1.txt"))
     return ref, tr1
+
+
+def load_cow():
+    return load_pair("cow")
 
 
 def amortized_op_time(fn, args, n_small: int = 20, n_big: int = 520, reps: int = 3):
@@ -92,7 +96,7 @@ def wall_time(fn, reps: int = 5):
 _EPS = 1e-20
 
 
-def benchmark_matrix(n_iters: int = 20, include=None):
+def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
     """Run the op-level matrix; returns a list of result dicts."""
     import jax
     import jax.numpy as jnp
@@ -109,7 +113,7 @@ def benchmark_matrix(n_iters: int = 20, include=None):
     )
     from icp_tpu.ops.transform import apply_and_error, identity_similarity
 
-    ref_np, tr1_np = load_cow()
+    ref_np, tr1_np = load_pair(workload)
     ref = jnp.asarray(ref_np, jnp.float32)
     tr1 = jnp.asarray(tr1_np, jnp.float32)
     backend = jax.default_backend()
@@ -160,7 +164,7 @@ def benchmark_matrix(n_iters: int = 20, include=None):
 
     # Full fixed-iteration loop (the headline): amortized over iteration count.
     nn_method = "bcast"
-    solver = "qcp" if on_tpu else "eigh"
+    solver = "qcp_fused" if on_tpu else "eigh"
 
     def timed_loop(k):
         def run():
@@ -196,8 +200,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="icp-bench")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--workload", default="cow", choices=["cow", "horse"])
     args = ap.parse_args(argv)
-    for r in benchmark_matrix(n_iters=args.iters, include=args.only):
+    for r in benchmark_matrix(
+        n_iters=args.iters, include=args.only, workload=args.workload
+    ):
+        r["workload"] = args.workload
         print(json.dumps(r))
     return 0
 

@@ -35,7 +35,8 @@ class ICPConfig:
         (~2x MSE, reference ``src/cpu.cc:63-73``).  If False, report plain MSE.
       solver: alignment eigenproblem solver: ``"eigh"`` (jnp.linalg.eigh on the
         Horn 4x4 N-matrix), ``"qcp"`` (Newton on the quartic characteristic
-        polynomial + adjugate eigenvector; branch-free, fastest on TPU),
+        polynomial + adjugate eigenvector; branch-free), ``"qcp_fused"``
+        (same math fused into one Pallas scalar-core kernel; fastest on TPU),
         ``"kabsch"`` (3x3 SVD), or ``"auto"``.
       nn_method: correspondence search implementation: ``"bcast"`` (fused XLA
         broadcast), ``"matmul"`` (||a||^2+||b||^2-2ab), ``"pallas"`` (tiled
@@ -58,8 +59,8 @@ class ICPConfig:
     reference_compat: bool = True
     solver: str = "auto"
     nn_method: str = "auto"
-    scene_tile: int = 512
-    model_tile: int = 1024
+    scene_tile: int = 256
+    model_tile: int = 4096
     validate_inputs: bool = True
     with_scale: bool = True
     mesh_shape: Optional[Tuple[int, ...]] = None
@@ -67,7 +68,7 @@ class ICPConfig:
     def resolved_solver(self, backend: str) -> str:
         if self.solver != "auto":
             return self.solver
-        return "qcp" if backend == "tpu" else "eigh"
+        return "qcp_fused" if backend == "tpu" else "eigh"
 
     def resolved_nn_method(self, backend: str) -> str:
         if self.nn_method != "auto":

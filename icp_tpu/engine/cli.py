@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("scene", help="cloud to transform CSV")
     p.add_argument("nb_iter", type=int, help="max iterations")
     p.add_argument("--threshold", type=float, default=1e-5)
-    p.add_argument("--solver", default="auto", choices=["auto", "eigh", "qcp", "kabsch"])
+    p.add_argument("--solver", default="auto",
+                   choices=["auto", "eigh", "qcp", "qcp_fused", "kabsch"])
     p.add_argument("--nn", default="auto", choices=["auto", "bcast", "matmul", "pallas"])
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     p.add_argument("--no-scale", action="store_true", help="rigid (SE3) alignment")

@@ -7,10 +7,14 @@ orchestrator, ``src/GPU/compute.cu:94-245``).  Differences by design:
   * The reference materializes a ``batch x nm`` distance matrix in GPU memory
     per wave, then runs a serial-argmin kernel over it.  Here the grid runs
     over (scene-tile i, model-tile j); each step computes a ``TN x TM``
-    distance tile *in VMEM* via the MXU matmul expansion and folds a running
-    (best distance, best index) carry into the output block — the N x M
-    matrix never exists, in any memory (the online-softmax / blockwise-
-    attention pattern, SURVEY.md §5 "long-context analog").
+    distance tile *in VMEM* and folds a running (best distance, best index)
+    carry into the output block — the N x M matrix never exists, in any
+    memory (the online-softmax / blockwise-attention pattern, SURVEY.md §5
+    "long-context analog").  Two distance paths: ``vpu`` (default; 9 fused
+    broadcast passes, exact f32 — measured 3x faster than the MXU path at
+    dim=3 on v5e because exact-f32 MXU needs multi-pass splitting while K=3
+    wastes the systolic array) and ``mxu`` (``||m||^2 - 2 p.m`` expansion,
+    the classic pattern, which wins for high-dimensional features).
   * The distance used is ``||m||^2 - 2 p.m`` (the ``||p||^2`` term is
     constant per scene point and cannot affect the argmin).  Squared distance
     is the reference contract (``src/GPU/compute.cu:117``).
@@ -40,29 +44,45 @@ _COORD_LANES = 8  # 3 coords zero-padded to 8 sublane-friendly lanes
 _BIG = jnp.float32(3.0e38)  # sentinel distance for padded model points
 
 
-def _nn_kernel(p_ref, mt_ref, mnorm_ref, dist_ref, idx_ref):
+def _nn_kernel(p_ref, mt_ref, mnorm_ref, dist_ref, idx_ref, *, precision,
+               native_argmin, distance_impl):
     j = pl.program_id(1)
     tm = mt_ref.shape[1]
 
-    # Distance tile on the MXU: d[a, b] = ||m_b||^2 - 2 p_a . m_b
-    # HIGHEST precision is required: the MXU's default bf16 operand rounding
-    # perturbs distances by ~1e-2 relative, flipping ~70% of cow argmins
-    # (measured on v5e; interpret mode hides this).
-    prod = jax.lax.dot_general(
-        p_ref[:],
-        mt_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d = mnorm_ref[:] - 2.0 * prod  # (TN, TM); mnorm broadcasts from (1, TM)
+    if distance_impl == "mxu":
+        # Distance tile on the MXU: d[a, b] = ||m_b||^2 - 2 p_a . m_b
+        # Never the MXU default: bf16 operand rounding perturbs distances by
+        # ~1e-2 relative, flipping ~70% of cow argmins (measured on v5e; the
+        # interpreter hides this).  HIGHEST = exact-f32 multi-pass.
+        # (Mosaic does not implement Precision.HIGH.)
+        prod = jax.lax.dot_general(
+            p_ref[:],
+            mt_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        d = mnorm_ref[:] - 2.0 * prod  # (TN, TM); mnorm broadcasts (1, TM)
+    else:
+        # Pure-VPU broadcast form: exact f32, no MXU passes. For dim=3 the
+        # arithmetic is 9 fused elementwise passes — competitive with the
+        # multi-pass f32 MXU path and exact.
+        d = jnp.zeros((p_ref.shape[0], tm), jnp.float32)
+        for k in range(3):
+            diff = p_ref[:, k][:, None] - mt_ref[k, :][None, :]
+            d = d + diff * diff
 
     # Fused min+argmin along the model axis, first-occurrence (lowest index)
-    # tie-breaking: min, then min of indices over the argmin set.
-    local_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
-    masked = jnp.where(d == local_min, col, jnp.int32(2**31 - 1))
-    local_arg = jnp.min(masked, axis=1, keepdims=True)  # (TN, 1) local index
+    # tie-breaking.
+    if native_argmin:
+        # jnp.argmin ties resolve to the first occurrence by contract.
+        local_min = jnp.min(d, axis=1, keepdims=True)
+        local_arg = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None]
+    else:
+        local_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
+        masked = jnp.where(d == local_min, col, jnp.int32(2**31 - 1))
+        local_arg = jnp.min(masked, axis=1, keepdims=True)  # (TN, 1)
     gidx = local_arg + j * tm
 
     @pl.when(j == 0)
@@ -81,9 +101,10 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scene_tile", "model_tile", "interpret", "with_dist")
-)
+# NOTE: deliberately NOT wrapped in jax.jit — a nested jit around a
+# pallas_call inside an outer scan/fori body trips a lowering-cache KeyError
+# ('closed_call') in jax 0.9.0 when a second pallas kernel shares the body.
+# Callers jit the enclosing program.
 def _closest_pallas(
     scene,
     model,
@@ -92,6 +113,9 @@ def _closest_pallas(
     model_tile: int,
     interpret: bool,
     with_dist: bool,
+    precision: str = "highest",
+    native_argmin: bool = False,
+    distance_impl: str = "vpu",
 ):
     n, d = scene.shape
     m = model.shape[0]
@@ -106,13 +130,26 @@ def _closest_pallas(
     m_pad = _round_up(m, tm)
 
     scene_p = jnp.zeros((n_pad, _COORD_LANES), dt).at[:n, :3].set(scene)
-    model_p = jnp.zeros((m_pad, _COORD_LANES), dt).at[:m, :3].set(model)
+    # Padded model rows sit at 1e17 per coordinate: their VPU-path distance is
+    # ~3e34 (finite, no overflow) and their MXU-path mnorm is _BIG — they can
+    # never win the argmin in either distance implementation.
+    model_p = jnp.zeros((m_pad, _COORD_LANES), dt).at[m:, :3].set(1.0e17)
+    model_p = model_p.at[:m, :3].set(model)
     model_t = model_p.T  # (8, Mp)
     mnorm = jnp.full((1, m_pad), _BIG, dt).at[0, :m].set(jnp.sum(model * model, axis=1))
 
+    prec = {
+        "high": jax.lax.Precision.HIGH,  # not implemented by Mosaic; kept
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
     grid = (n_pad // tn, m_pad // tm)
     out_dist, out_idx = pl.pallas_call(
-        _nn_kernel,
+        functools.partial(
+            _nn_kernel,
+            precision=prec,
+            native_argmin=native_argmin,
+            distance_impl=distance_impl,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tn, _COORD_LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -133,8 +170,12 @@ def _closest_pallas(
     idx = out_idx[:n, 0]
     if not with_dist:
         return idx
-    # Recover the true squared distance by adding back the ||p||^2 term.
-    d2 = out_dist[:n, 0] + jnp.sum(scene * scene, axis=1)
+    if distance_impl == "mxu":
+        # MXU path carries ||m||^2 - 2 p.m; add back the ||p||^2 term.
+        d2 = out_dist[:n, 0] + jnp.sum(scene * scene, axis=1)
+    else:
+        # VPU path computes the true squared distance directly.
+        d2 = out_dist[:n, 0]
     return idx, d2
 
 
@@ -142,9 +183,12 @@ def closest_point_indices_pallas(
     scene: jax.Array,
     model: jax.Array,
     *,
-    scene_tile: int = 512,
-    model_tile: int = 1024,
+    scene_tile: int = 256,
+    model_tile: int = 4096,
     interpret: bool | None = None,
+    precision: str = "highest",
+    native_argmin: bool = False,
+    distance_impl: str = "vpu",
 ) -> jax.Array:
     """Nearest-model-point indices for each scene point — fused Pallas kernel.
 
@@ -160,6 +204,9 @@ def closest_point_indices_pallas(
         model_tile=model_tile,
         interpret=interpret,
         with_dist=False,
+        precision=precision,
+        native_argmin=native_argmin,
+        distance_impl=distance_impl,
     )
 
 
@@ -167,8 +214,8 @@ def closest_point_with_distances_pallas(
     scene: jax.Array,
     model: jax.Array,
     *,
-    scene_tile: int = 512,
-    model_tile: int = 1024,
+    scene_tile: int = 256,
+    model_tile: int = 4096,
     interpret: bool | None = None,
 ):
     """(indices, true squared distances) variant for diagnostics/SLAM gating."""

@@ -253,6 +253,15 @@ def alignment_from_stats(
 
     if solver == "kabsch":
         R = rotation_kabsch(S)
+    elif solver == "qcp_fused":
+        # Whole 4x4 solve in one Pallas kernel dispatch (see
+        # kernels/qcp_pallas.py: the XLA scalar chain costs ~94us/iter on
+        # v5e; the kernel ~2us).  Interpret mode off-TPU keeps tests honest.
+        from icp_tpu.kernels.qcp_pallas import horn_rotation_pallas
+
+        interp = jax.default_backend() != "tpu"
+        R, _, _ = horn_rotation_pallas(S, gp, gy, interpret=interp)
+        R = R.astype(S.dtype)
     else:
         N = horn_n_matrix(S)
         if solver == "eigh":

@@ -46,13 +46,22 @@ _INT_MAX = jnp.int32(2**31 - 1)
 _BIG = 3.0e38
 
 
-def _local_partial_argmin(p_loc: jax.Array, m_cur: jax.Array):
-    """Per scene point: (partial distance, argmin) against one model shard.
+def _local_partial_argmin(p_loc: jax.Array, m_cur: jax.Array, nn_impl: str):
+    """Per scene point: (distance, argmin) against one model shard.
 
-    Distance is ``||m||^2 - 2 p.m`` — the ||p||^2 term is constant per scene
-    point and identical across shards, so dropping it preserves both the
-    argmin and cross-shard tie comparisons.
+    ``nn_impl="pallas"`` runs the fused tiled kernel — mandatory at scale:
+    the jnp path materializes the local N_loc x M_loc matrix (62 GB for a
+    1M-point cloud on 8 chips).  Both impls return distances that are
+    consistent across shards, so cross-shard tie comparisons are exact.
     """
+    if nn_impl == "pallas":
+        from icp_tpu.kernels.nn_pallas import closest_point_with_distances_pallas
+
+        idx, d2 = closest_point_with_distances_pallas(p_loc, m_cur)
+        return d2, idx
+    # jnp fallback (small problems / CPU tests): ||m||^2 - 2 p.m — the
+    # ||p||^2 term is constant per scene point and identical across shards,
+    # so dropping it preserves both the argmin and tie comparisons.
     cross = jnp.matmul(p_loc, m_cur.T, precision=jax.lax.Precision.HIGHEST)
     d = jnp.sum(m_cur * m_cur, axis=1)[None, :] - 2.0 * cross
     idx = jnp.argmin(d, axis=1).astype(jnp.int32)
@@ -74,7 +83,7 @@ def _masked_stats(p, y, w, axis: str) -> AlignmentStats:
     return jax.tree.map(lambda x: jax.lax.psum(x, axis), local)
 
 
-def _ring_correspond(p_loc, m_loc, *, axis: str, n_dev: int):
+def _ring_correspond(p_loc, m_loc, *, axis: str, n_dev: int, nn_impl: str = "jnp"):
     """Ring NN fold: returns (matched model points, validity mask ignored).
 
     Each of the ``n_dev`` hops: fold local argmin vs the held shard, then
@@ -91,7 +100,7 @@ def _ring_correspond(p_loc, m_loc, *, axis: str, n_dev: int):
             my.astype(jnp.int32) - k.astype(jnp.int32) + jnp.int32(n_dev),
             jnp.int32(n_dev),
         )
-        d, idx_local = _local_partial_argmin(p_loc, m_cur)
+        d, idx_local = _local_partial_argmin(p_loc, m_cur, nn_impl)
         gi = idx_local + src * m_shard
         pt = jnp.take(m_cur, idx_local, axis=0)
         better = jnp.logical_or(
@@ -115,10 +124,10 @@ def _ring_correspond(p_loc, m_loc, *, axis: str, n_dev: int):
     return best_pt, best_i
 
 
-def _allgather_correspond(p_loc, m_loc, *, axis: str, n_dev: int):
+def _allgather_correspond(p_loc, m_loc, *, axis: str, n_dev: int, nn_impl: str = "jnp"):
     """Small-model variant: gather the full model once, local NN."""
     m_full = jax.lax.all_gather(m_loc, axis, tiled=True)
-    d, idx = _local_partial_argmin(p_loc, m_full)
+    d, idx = _local_partial_argmin(p_loc, m_full, nn_impl)
     return jnp.take(m_full, idx, axis=0), idx
 
 
@@ -131,6 +140,7 @@ def _allgather_correspond(p_loc, m_loc, *, axis: str, n_dev: int):
         "with_scale",
         "reference_compat",
         "ring",
+        "nn_impl",
     ),
 )
 def _icp_sharded_jit(
@@ -145,6 +155,7 @@ def _icp_sharded_jit(
     with_scale: bool,
     reference_compat: bool,
     ring: bool,
+    nn_impl: str = "jnp",
 ):
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
@@ -158,7 +169,7 @@ def _icp_sharded_jit(
 
         def body(carry):
             p, sim_tot, _, it = carry
-            y, _ = correspond(p, m_loc, axis=axis, n_dev=n_dev)
+            y, _ = correspond(p, m_loc, axis=axis, n_dev=n_dev, nn_impl=nn_impl)
             stats = _masked_stats(p, y, w_loc, axis)
             sim = alignment_from_stats(stats, solver=solver, with_scale=with_scale)
             p_new = apply_similarity(p, sim)
@@ -242,6 +253,7 @@ def icp_sharded(
         with_scale=cfg.with_scale,
         reference_compat=cfg.reference_compat,
         ring=ring,
+        nn_impl="pallas" if cfg.resolved_nn_method(backend) == "pallas" else "jnp",
     )
     return ICPResult(
         points=res.points[:n],

@@ -10,7 +10,7 @@ from icp_tpu.ops.transform import apply_similarity
 from tests import oracle
 from tests.conftest import random_rotation
 
-SOLVERS = ["eigh", "qcp", "kabsch"]
+SOLVERS = ["eigh", "qcp", "qcp_fused", "kabsch"]
 
 
 def _rot_distance(Ra, Rb):
@@ -36,6 +36,10 @@ def test_horn_n_matrix_symmetric_traceless(rng):
 
 @pytest.mark.parametrize("solver", SOLVERS)
 def test_exact_similarity_recovery(solver, rng):
+    # qcp_fused runs in f32 inside the kernel regardless of input dtype.
+    rot_tol, t_tol, err_tol = (
+        (5e-6, 1e-5, 1e-9) if solver == "qcp_fused" else (1e-7, 1e-8, 1e-16)
+    )
     for trial in range(5):
         p = rng.standard_normal((40, 3))
         R = random_rotation(rng)
@@ -46,9 +50,9 @@ def test_exact_similarity_recovery(solver, rng):
             jnp.asarray(p), jnp.asarray(y), solver=solver, with_scale=True
         )
         assert abs(float(sim.s) - s) < 1e-8
-        assert _rot_distance(sim.R, R) < 1e-7
-        np.testing.assert_allclose(np.asarray(sim.t), t, atol=1e-8)
-        assert float(err) < 1e-16
+        assert _rot_distance(sim.R, R) < rot_tol
+        np.testing.assert_allclose(np.asarray(sim.t), t, atol=t_tol)
+        assert float(err) < err_tol
 
 
 @pytest.mark.parametrize("solver", SOLVERS)
