@@ -59,15 +59,16 @@ def amortized_op_time(fn, args, n_small: int = 20, n_big: int = 520, reps: int =
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("n",))
+    # Dynamic trip count: ONE compiled program serves both n values (compiles
+    # take minutes on tunneled backends; fori_loop accepts a traced bound).
+    @jax.jit
     def loop(n, *a):
-        def body(c, _):
+        def body(_, c):
             out = fn(*a, c)
             leaf = jax.tree.leaves(out)[0]
-            return c + jnp.sum(leaf).astype(jnp.float32) * 1e-12, None
+            return c + jnp.sum(leaf).astype(jnp.float32) * 1e-12
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-        return c
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     for n in (n_small, n_big):
         float(loop(n, *args))  # compile + warm (forced fetch)

@@ -198,7 +198,6 @@ def _icp_scan_trace(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_iters",
         "solver",
         "nn_method",
         "with_scale",
@@ -211,7 +210,9 @@ def icp_fixed_iters(
     model,
     scene,
     *,
-    n_iters: int,
+    n_iters,  # dynamic on purpose: one compiled program serves every count
+    # (compiles are minutes on tunneled backends; fori_loop takes a traced
+    # bound by lowering to while_loop)
     solver: str = "eigh",
     nn_method: str = "bcast",
     with_scale: bool = True,
@@ -239,10 +240,9 @@ def icp_fixed_iters(
         return p_new, compose(sim_tot, sim), err
 
     init = (scene, identity_similarity(dt), jnp.asarray(jnp.inf, dt))
-    p, sim_tot, err = jax.lax.fori_loop(0, n_iters, body, init)
-    return ICPResult(
-        points=p, transform=sim_tot, err=err, iters=jnp.asarray(n_iters, jnp.int32)
-    )
+    n = jnp.asarray(n_iters, jnp.int32)
+    p, sim_tot, err = jax.lax.fori_loop(0, n, body, init)
+    return ICPResult(points=p, transform=sim_tot, err=err, iters=n)
 
 
 def _validate(model, scene, cfg: ICPConfig) -> None:
