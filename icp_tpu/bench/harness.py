@@ -20,7 +20,6 @@ mirroring the reference's stdout-metrics/stderr-logs split (``README.md:84``).
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys

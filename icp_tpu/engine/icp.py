@@ -76,6 +76,61 @@ def icp_step(
     return p_new, sim, err
 
 
+def _step_and_compose(
+    p,
+    model,
+    sim_tot,
+    *,
+    solver,
+    nn_method,
+    with_scale,
+    reference_compat,
+    scene_tile,
+    model_tile,
+):
+    """One iteration + transform composition.
+
+    Fast path (solver=qcp_fused + nn=pallas): the model-point gather runs
+    inside the NN kernel (one-hot matmul) and the whole alignment solve +
+    composition runs in the fused scalar-core kernel — the XLA glue per
+    iteration reduces to the stats sums and the fused apply/error pass.
+    """
+    if solver == "qcp_fused" and nn_method == "pallas":
+        from icp_tpu.kernels.nn_pallas import closest_point_indices_pallas
+        from icp_tpu.kernels.qcp_pallas import alignment_step_pallas
+
+        interp = jax.default_backend() != "tpu"
+        # NOTE: indices + HBM gather, NOT the kernel's one-hot in-kernel
+        # gather — measured 12us vs ~75us on cow (the one-hot matmul's
+        # contraction over the whole model tile at HIGHEST precision costs
+        # far more than the gather it saves).
+        idx = closest_point_indices_pallas(
+            p, model, scene_tile=scene_tile, model_tile=model_tile,
+            interpret=interp,
+        )
+        y = jnp.take(model, idx, axis=0)
+        stats = compute_alignment_stats(p, y)
+        sim, new_tot = alignment_step_pallas(
+            stats, sim_tot, with_scale=with_scale, interpret=interp
+        )
+        p_new, err_sum = apply_and_error(p, y, sim)
+        n = jnp.asarray(p.shape[0], err_sum.dtype)
+        err = (2.0 * err_sum / n) if reference_compat else (err_sum / n)
+        return p_new, new_tot, err
+
+    p_new, sim, err = icp_step(
+        p,
+        model,
+        solver=solver,
+        nn_method=nn_method,
+        with_scale=with_scale,
+        reference_compat=reference_compat,
+        scene_tile=scene_tile,
+        model_tile=model_tile,
+    )
+    return p_new, compose(sim_tot, sim), err
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -109,9 +164,10 @@ def _icp_while(
 
     def body(carry):
         p, sim_tot, _, it = carry
-        p_new, sim, err = icp_step(
+        p_new, sim_tot2, err = _step_and_compose(
             p,
             model,
+            sim_tot,
             solver=solver,
             nn_method=nn_method,
             with_scale=with_scale,
@@ -119,7 +175,7 @@ def _icp_while(
             scene_tile=scene_tile,
             model_tile=model_tile,
         )
-        return p_new, compose(sim_tot, sim), err, it + 1
+        return p_new, sim_tot2, err, it + 1
 
     init = (
         scene,
@@ -164,9 +220,10 @@ def _icp_scan_trace(
 
     def body(carry, _):
         p, sim_tot, err, it, done = carry
-        p_new, sim, err_new = icp_step(
+        p_new, sim_tot2, err_new = _step_and_compose(
             p,
             model,
+            sim_tot,
             solver=solver,
             nn_method=nn_method,
             with_scale=with_scale,
@@ -176,7 +233,7 @@ def _icp_scan_trace(
         )
         keep = lambda new, old: jnp.where(done, old, new)
         p = keep(p_new, p)
-        sim_tot = jax.tree.map(keep, compose(sim_tot, sim), sim_tot)
+        sim_tot = jax.tree.map(keep, sim_tot2, sim_tot)
         err = keep(err_new, err)
         it = jnp.where(done, it, it + 1)
         done = jnp.logical_or(done, err < threshold)
@@ -226,10 +283,11 @@ def icp_fixed_iters(
     dt = scene.dtype
 
     def body(_, carry):
-        p, sim_tot, _ = carry
-        p_new, sim, err = icp_step(
+        p, sim_tot, __ = carry
+        p_new, sim_tot2, err = _step_and_compose(
             p,
             model,
+            sim_tot,
             solver=solver,
             nn_method=nn_method,
             with_scale=with_scale,
@@ -237,7 +295,7 @@ def icp_fixed_iters(
             scene_tile=scene_tile,
             model_tile=model_tile,
         )
-        return p_new, compose(sim_tot, sim), err
+        return p_new, sim_tot2, err
 
     init = (scene, identity_similarity(dt), jnp.asarray(jnp.inf, dt))
     n = jnp.asarray(n_iters, jnp.int32)

@@ -23,8 +23,6 @@ oracle.
 from __future__ import annotations
 
 import sys
-from typing import Optional
-
 import numpy as np
 
 

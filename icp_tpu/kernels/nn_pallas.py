@@ -44,8 +44,9 @@ _COORD_LANES = 8  # 3 coords zero-padded to 8 sublane-friendly lanes
 _BIG = jnp.float32(3.0e38)  # sentinel distance for padded model points
 
 
-def _nn_kernel(p_ref, mt_ref, mnorm_ref, dist_ref, idx_ref, *, precision,
-               native_argmin, distance_impl):
+def _nn_kernel(p_ref, mt_ref, mnorm_ref, dist_ref, idx_ref, *refs, precision,
+               native_argmin, distance_impl, with_points=False):
+    y_ref = refs[0] if with_points else None
     j = pl.program_id(1)
     tm = mt_ref.shape[1]
 
@@ -85,16 +86,36 @@ def _nn_kernel(p_ref, mt_ref, mnorm_ref, dist_ref, idx_ref, *, precision,
         local_arg = jnp.min(masked, axis=1, keepdims=True)  # (TN, 1)
     gidx = local_arg + j * tm
 
+    if with_points:
+        # In-kernel gather of the winning model point, as an exact one-hot
+        # matmul: onehot is 0/1 (exactly representable), the model tile is
+        # already in VMEM, and HIGHEST keeps f32-exact coordinates.  This
+        # kills the HBM row-gather (~12 us/iter on cow) after the kernel.
+        if native_argmin:
+            col = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
+        onehot = (col == local_arg).astype(jnp.float32)  # (TN, TM)
+        pt = jax.lax.dot_general(
+            onehot,
+            mt_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TN, 8)
+
     @pl.when(j == 0)
     def _init():
         dist_ref[:] = local_min
         idx_ref[:] = gidx
+        if with_points:
+            y_ref[:] = pt
 
     @pl.when(j > 0)
     def _fold():
         better = local_min < dist_ref[:]  # strict <: earlier tile wins ties
         dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
         idx_ref[:] = jnp.where(better, gidx, idx_ref[:])
+        if with_points:
+            y_ref[:] = jnp.where(better, pt, y_ref[:])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -116,6 +137,7 @@ def _closest_pallas(
     precision: str = "highest",
     native_argmin: bool = False,
     distance_impl: str = "vpu",
+    with_points: bool = False,
 ):
     n, d = scene.shape
     m = model.shape[0]
@@ -143,12 +165,26 @@ def _closest_pallas(
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
     grid = (n_pad // tn, m_pad // tm)
-    out_dist, out_idx = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, 1), dt),
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+    ]
+    if with_points:
+        out_specs.append(
+            pl.BlockSpec((tn, _COORD_LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n_pad, _COORD_LANES), dt))
+    outs = pl.pallas_call(
         functools.partial(
             _nn_kernel,
             precision=prec,
             native_argmin=native_argmin,
             distance_impl=distance_impl,
+            with_points=with_points,
         ),
         grid=grid,
         in_specs=[
@@ -156,18 +192,15 @@ def _closest_pallas(
             pl.BlockSpec((_COORD_LANES, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), dt),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(scene_p, model_t, mnorm)
+    out_dist, out_idx = outs[0], outs[1]
 
     idx = out_idx[:n, 0]
+    if with_points:
+        return idx, outs[2][:n, :3]
     if not with_dist:
         return idx
     if distance_impl == "mxu":
@@ -207,6 +240,29 @@ def closest_point_indices_pallas(
         precision=precision,
         native_argmin=native_argmin,
         distance_impl=distance_impl,
+    )
+
+
+def closest_points_and_targets_pallas(
+    scene: jax.Array,
+    model: jax.Array,
+    *,
+    scene_tile: int = 256,
+    model_tile: int = 4096,
+    interpret: bool | None = None,
+):
+    """(indices, matched model points) — the gather happens inside the kernel
+    via an exact one-hot matmul, so no HBM row-gather is needed after."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _closest_pallas(
+        scene,
+        model,
+        scene_tile=scene_tile,
+        model_tile=model_tile,
+        interpret=interpret,
+        with_dist=False,
+        with_points=True,
     )
 
 

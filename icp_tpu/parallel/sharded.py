@@ -40,7 +40,7 @@ from icp_tpu.config import ICPConfig
 from icp_tpu.engine.icp import ICPResult
 from icp_tpu.ops.alignment import AlignmentStats, alignment_from_stats
 from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
-from icp_tpu.parallel.mesh import POINTS_AXIS, make_mesh
+from icp_tpu.parallel.mesh import make_mesh
 
 _INT_MAX = jnp.int32(2**31 - 1)
 _BIG = 3.0e38

@@ -67,7 +67,6 @@ def main(argv=None) -> int:
     poses = chain_to_world_poses(pairs)
 
     if args.refine:
-        from icp_tpu.ops.transform import inverse
         from icp_tpu.slam.pose_graph import bundle_adjust
 
         # Correspondences from consecutive pairs: p in frame k+1 matched to

@@ -62,6 +62,46 @@ def test_pallas_distances_variant(rng):
     np.testing.assert_allclose(d2, want, rtol=1e-4, atol=1e-5)
 
 
+def test_with_points_matches_gather(rng):
+    """In-kernel one-hot gather == model[idx]."""
+    from icp_tpu.kernels.nn_pallas import closest_points_and_targets_pallas
+
+    p = rng.standard_normal((64, 3)).astype(np.float32)
+    m = rng.standard_normal((300, 3)).astype(np.float32)
+    idx, y = closest_points_and_targets_pallas(
+        jnp.asarray(p), jnp.asarray(m), scene_tile=16, model_tile=128,
+        interpret=True,
+    )
+    idx, y = np.asarray(idx), np.asarray(y)
+    np.testing.assert_array_equal(y, m[idx])
+
+
+def test_fused_step_path_matches_reference_path(cow_pair):
+    """solver=qcp_fused + nn=pallas (the TPU fast path, fully fused kernels)
+    must produce the same registration as the plain path."""
+    from icp_tpu import ICPConfig, icp
+
+    ref, tr1 = cow_pair
+    ref = np.ascontiguousarray(ref[::20])
+    tr1 = np.ascontiguousarray(tr1[::20])
+    fused = icp(ref, tr1, ICPConfig(max_iter=20, dtype=jnp.float32,
+                                    nn_method="pallas", solver="qcp_fused"))
+    plain = icp(ref, tr1, ICPConfig(max_iter=20, dtype=jnp.float32,
+                                    nn_method="bcast", solver="qcp"))
+    assert float(fused.err) < 1e-5
+    assert int(fused.iters) == int(plain.iters)
+    np.testing.assert_allclose(
+        np.asarray(fused.points), np.asarray(plain.points), atol=1e-4
+    )
+    # cumulative transform must replay correctly (composition in-kernel)
+    from icp_tpu.ops.transform import apply_similarity
+
+    replay = apply_similarity(jnp.asarray(tr1, jnp.float32), fused.transform)
+    np.testing.assert_allclose(
+        np.asarray(replay), np.asarray(fused.points), atol=1e-4
+    )
+
+
 def test_pallas_inside_icp_loop(cow_pair):
     """nn_method='pallas' end to end (interpret on CPU)."""
     from icp_tpu import ICPConfig, icp
