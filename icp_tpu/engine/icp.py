@@ -96,8 +96,16 @@ def _step_and_compose(
     iteration reduces to the stats sums and the fused apply/error pass.
     """
     if solver == "qcp_fused" and nn_method == "pallas":
+        # Fused fast path.  ``sim_tot`` here is NOT a Similarity but the
+        # (1, 32) state block output by the alignment kernel (identity-packed
+        # at loop start, carried verbatim) — zero repacking per iteration.
         from icp_tpu.kernels.nn_pallas import closest_point_indices_pallas
-        from icp_tpu.kernels.qcp_pallas import alignment_step_pallas
+        from icp_tpu.kernels.qcp_pallas import (
+            alignment_step_state_pallas,
+            pack_stats,
+            unpack_state,
+        )
+        from icp_tpu.ops.transform import apply_similarity
 
         interp = jax.default_backend() != "tpu"
         # NOTE: indices + HBM gather, NOT the kernel's one-hot in-kernel
@@ -110,13 +118,16 @@ def _step_and_compose(
         )
         y = jnp.take(model, idx, axis=0)
         stats = compute_alignment_stats(p, y)
-        sim, new_tot = alignment_step_pallas(
-            stats, sim_tot, with_scale=with_scale, interpret=interp
+        # err comes from the kernel in closed form (gy + s^2 gp - 2 s lambda,
+        # Horn's residual at the optimum) — no (N, 3) error reduction pass.
+        new_state = alignment_step_state_pallas(
+            pack_stats(stats), sim_tot, with_scale=with_scale, interpret=interp
         )
-        p_new, err_sum = apply_and_error(p, y, sim)
+        sim, _, err_sum = unpack_state(new_state)
+        p_new = apply_similarity(p, sim)
         n = jnp.asarray(p.shape[0], err_sum.dtype)
         err = (2.0 * err_sum / n) if reference_compat else (err_sum / n)
-        return p_new, new_tot, err
+        return p_new, new_state, err
 
     p_new, sim, err = icp_step(
         p,
@@ -129,6 +140,26 @@ def _step_and_compose(
         model_tile=model_tile,
     )
     return p_new, compose(sim_tot, sim), err
+
+
+def _is_fused(solver: str, nn_method: str) -> bool:
+    return solver == "qcp_fused" and nn_method == "pallas"
+
+
+def _init_transform_state(solver: str, nn_method: str, dt):
+    if _is_fused(solver, nn_method):
+        from icp_tpu.kernels.qcp_pallas import identity_state
+
+        return identity_state()
+    return identity_similarity(dt)
+
+
+def _finish_transform_state(state, solver: str, nn_method: str) -> Similarity:
+    if _is_fused(solver, nn_method):
+        from icp_tpu.kernels.qcp_pallas import unpack_state
+
+        return unpack_state(state)[1]
+    return state
 
 
 @functools.partial(
@@ -179,12 +210,17 @@ def _icp_while(
 
     init = (
         scene,
-        identity_similarity(dt),
+        _init_transform_state(solver, nn_method, dt),
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
     )
-    p, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
-    return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
+    p, state, err, it = jax.lax.while_loop(cond, body, init)
+    return ICPResult(
+        points=p,
+        transform=_finish_transform_state(state, solver, nn_method),
+        err=err,
+        iters=it,
+    )
 
 
 @functools.partial(
@@ -241,14 +277,20 @@ def _icp_scan_trace(
 
     init = (
         scene,
-        identity_similarity(dt),
+        _init_transform_state(solver, nn_method, dt),
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
     )
-    (p, sim_tot, err, it, _), errs = jax.lax.scan(body, init, None, length=max_iter)
+    (p, state, err, it, _), errs = jax.lax.scan(body, init, None, length=max_iter)
     return ICPTrace(
-        result=ICPResult(points=p, transform=sim_tot, err=err, iters=it), errs=errs
+        result=ICPResult(
+            points=p,
+            transform=_finish_transform_state(state, solver, nn_method),
+            err=err,
+            iters=it,
+        ),
+        errs=errs,
     )
 
 
@@ -274,8 +316,8 @@ def icp_fixed_iters(
     nn_method: str = "bcast",
     with_scale: bool = True,
     reference_compat: bool = True,
-    scene_tile: int = 512,
-    model_tile: int = 1024,
+    scene_tile: int = 256,
+    model_tile: int = 4096,
 ):
     """Run exactly ``n_iters`` iterations with no convergence exit — the
     benchmark workload (reference full-loop benches use 20 iterations,
@@ -297,10 +339,19 @@ def icp_fixed_iters(
         )
         return p_new, sim_tot2, err
 
-    init = (scene, identity_similarity(dt), jnp.asarray(jnp.inf, dt))
+    init = (
+        scene,
+        _init_transform_state(solver, nn_method, dt),
+        jnp.asarray(jnp.inf, dt),
+    )
     n = jnp.asarray(n_iters, jnp.int32)
-    p, sim_tot, err = jax.lax.fori_loop(0, n, body, init)
-    return ICPResult(points=p, transform=sim_tot, err=err, iters=n)
+    p, state, err = jax.lax.fori_loop(0, n, body, init)
+    return ICPResult(
+        points=p,
+        transform=_finish_transform_state(state, solver, nn_method),
+        err=err,
+        iters=n,
+    )
 
 
 def _validate(model, scene, cfg: ICPConfig) -> None:

@@ -31,129 +31,44 @@ _POWER_ITERS = 2
 
 def _qcp_kernel(in_ref, out_ref):
     f = lambda i: in_ref[0, i]
-    S00, S01, S02 = f(0), f(1), f(2)
-    S10, S11, S12 = f(3), f(4), f(5)
-    S20, S21, S22 = f(6), f(7), f(8)
+    S = [[f(3 * r + c) for c in range(3)] for r in range(3)]
     gp, gy = f(9), f(10)
-
-    # Horn's symmetric traceless N-matrix (reference src/cpu.cc:121-126).
-    tr = S00 + S11 + S22
-    A = S12 - S21
-    B = S20 - S02
-    C = S01 - S10
-    N = [
-        [tr, A, B, C],
-        [A, S00 - S11 - S22, S01 + S10, S02 + S20],
-        [B, S01 + S10, S11 - S00 - S22, S12 + S21],
-        [C, S02 + S20, S12 + S21, S22 - S00 - S11],
-    ]
-
-    # Characteristic polynomial l^4 + c2 l^2 + c1 l + c0 (traceless).
-    c2 = -2.0 * (
-        S00 * S00 + S01 * S01 + S02 * S02
-        + S10 * S10 + S11 * S11 + S12 * S12
-        + S20 * S20 + S21 * S21 + S22 * S22
-    )
-    detS = (
-        S00 * (S11 * S22 - S12 * S21)
-        - S01 * (S10 * S22 - S12 * S20)
-        + S02 * (S10 * S21 - S11 * S20)
-    )
-    c1 = -8.0 * detS
-
-    def minor3(M, rows, cols):
-        (r0, r1, r2), (c0_, c1_, c2_) = rows, cols
-        return (
-            M[r0][c0_] * (M[r1][c1_] * M[r2][c2_] - M[r1][c2_] * M[r2][c1_])
-            - M[r0][c1_] * (M[r1][c0_] * M[r2][c2_] - M[r1][c2_] * M[r2][c0_])
-            + M[r0][c2_] * (M[r1][c0_] * M[r2][c1_] - M[r1][c1_] * M[r2][c0_])
-        )
-
-    c0 = jnp.float32(0.0)
-    for j in range(4):
-        cols = tuple(c for c in range(4) if c != j)
-        c0 = c0 + ((-1.0) ** j) * N[0][j] * minor3(N, (1, 2, 3), cols)
-
-    # Newton from the Cauchy-Schwarz upper bound sqrt(gp*gy) >= lambda_max.
-    lam = jnp.sqrt(jnp.maximum(gp * gy, 0.0))
-    for _ in range(_NEWTON_ITERS):
-        p = ((lam * lam + c2) * lam + c1) * lam + c0
-        dp = (4.0 * lam * lam + 2.0 * c2) * lam + c1
-        dp = jnp.where(jnp.abs(dp) < 1e-30, 1.0, dp)
-        lam = lam - p / dp
-
-    # Eigenvector = max-norm column of adj(N - lam I)  (adj = c v v^T).
-    M = [[N[i][j] - jnp.where(i == j, lam, 0.0) for j in range(4)] for i in range(4)]
-    adj = [[None] * 4 for _ in range(4)]
-    for i in range(4):
-        r = tuple(x for x in range(4) if x != i)
-        for j in range(4):
-            c = tuple(x for x in range(4) if x != j)
-            adj[j][i] = ((-1.0) ** (i + j)) * minor3(M, r, c)  # transpose
-
-    norms = [
-        adj[0][j] ** 2 + adj[1][j] ** 2 + adj[2][j] ** 2 + adj[3][j] ** 2
-        for j in range(4)
-    ]
-    best = norms[0]
-    q = [adj[0][0], adj[1][0], adj[2][0], adj[3][0]]
-    for j in range(1, 4):
-        take = norms[j] > best
-        best = jnp.where(take, norms[j], best)
-        q = [jnp.where(take, adj[k][j], q[k]) for k in range(4)]
-    # Degenerate-adjugate rescue + power-iteration polish on the PSD shift.
-    q = [qk + 1e-6 for qk in q]
-    shift = jnp.sqrt(jnp.maximum(gp * gy, 0.0)) + 1.0
-    for _ in range(_POWER_ITERS):
-        w = [
-            sum(N[i][j] * q[j] for j in range(4)) + shift * q[i]
-            for i in range(4)
-        ]
-        inv = jax.lax.rsqrt(jnp.maximum(w[0] ** 2 + w[1] ** 2 + w[2] ** 2 + w[3] ** 2, 1e-30))
-        q = [wi * inv for wi in w]
-    inv = jax.lax.rsqrt(jnp.maximum(q[0] ** 2 + q[1] ** 2 + q[2] ** 2 + q[3] ** 2, 1e-30))
-    w_, x_, y_, z_ = q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv
-
-    # Rotation (same algebra as the reference's q_bar^H q_caps block).
-    out_ref[0, 0] = w_ * w_ + x_ * x_ - y_ * y_ - z_ * z_
-    out_ref[0, 1] = 2.0 * (x_ * y_ - w_ * z_)
-    out_ref[0, 2] = 2.0 * (x_ * z_ + w_ * y_)
-    out_ref[0, 3] = 2.0 * (x_ * y_ + w_ * z_)
-    out_ref[0, 4] = w_ * w_ - x_ * x_ + y_ * y_ - z_ * z_
-    out_ref[0, 5] = 2.0 * (y_ * z_ - w_ * x_)
-    out_ref[0, 6] = 2.0 * (x_ * z_ - w_ * y_)
-    out_ref[0, 7] = 2.0 * (y_ * z_ + w_ * x_)
-    out_ref[0, 8] = w_ * w_ - x_ * x_ - y_ * y_ + z_ * z_
-    out_ref[0, 9] = w_
-    out_ref[0, 10] = x_
-    out_ref[0, 11] = y_
-    out_ref[0, 12] = z_
+    R, q, lam = _qcp_rotation_scalar(S, gp, gy)
+    for r in range(3):
+        for c in range(3):
+            out_ref[0, 3 * r + c] = R[r][c]
+    for k in range(4):
+        out_ref[0, 9 + k] = q[k]
     out_ref[0, 13] = lam
     out_ref[0, 14] = 0.0
     out_ref[0, 15] = 0.0
 
 
-def _alignment_step_kernel(in_ref, out_ref, *, with_scale):
+def _alignment_step_kernel(stats_ref, prev_ref, out_ref, *, with_scale):
     """Whole per-iteration alignment update in one scalar-core dispatch.
 
-    input  (1, 32): [sum_py(9), sum_p(3), sum_y(3), sum_pp, sum_yy, n,
-                     prev_s, prev_R(9), prev_t(3)]
-    output (1, 32): [s_step, R_step(9), t_step(3), s_tot, R_tot(9), t_tot(3),
-                     lambda]
+    stats input (1, 32): [sum_py(9), sum_p(3), sum_y(3), sum_pp, sum_yy, n]
+    prev input  (1, 32): the PREVIOUS iteration's output block (identity-
+                         packed at loop start) — the loop carries this block
+                         verbatim, so no per-iteration repacking is needed.
+    output      (1, 32): [s_step, R_step(9), t_step(3), s_tot, R_tot(9),
+                         t_tot(3), residual_sum, lambda]
+                         (slots 13..25 are what ``prev`` is read from)
 
     Computes centroids via the shift identities, runs the QCP solve, builds
     (s, R, t), and composes with the previous cumulative transform — all the
     scalar work of an ICP iteration that XLA would otherwise dispatch as
     ~hundreds of individual ops.
     """
-    f = lambda i: in_ref[0, i]
+    f = lambda i: stats_ref[0, i]
+    g = lambda i: prev_ref[0, i]
     Spy = [[f(3 * r + c) for c in range(3)] for r in range(3)]
     sum_p = [f(9), f(10), f(11)]
     sum_y = [f(12), f(13), f(14)]
     sum_pp, sum_yy, n = f(15), f(16), f(17)
-    prev_s = f(18)
-    prev_R = [[f(19 + 3 * r + c) for c in range(3)] for r in range(3)]
-    prev_t = [f(28), f(29), f(30)]
+    prev_s = g(13)
+    prev_R = [[g(14 + 3 * r + c) for c in range(3)] for r in range(3)]
+    prev_t = [g(23), g(24), g(25)]
 
     inv_n = 1.0 / n
     mu_p = [v * inv_n for v in sum_p]
@@ -163,7 +78,7 @@ def _alignment_step_kernel(in_ref, out_ref, *, with_scale):
     gp = sum_pp - n * (mu_p[0] ** 2 + mu_p[1] ** 2 + mu_p[2] ** 2)
     gy = sum_yy - n * (mu_y[0] ** 2 + mu_y[1] ** 2 + mu_y[2] ** 2)
 
-    R = _qcp_rotation_scalar(S, gp, gy)
+    R, _, lam = _qcp_rotation_scalar(S, gp, gy)
 
     s = jnp.sqrt(jnp.maximum(gy / jnp.maximum(gp, 1e-30), 0.0)) if with_scale else jnp.float32(1.0)
     t = [mu_y[r] - s * (R[r][0] * mu_p[0] + R[r][1] * mu_p[1] + R[r][2] * mu_p[2])
@@ -189,7 +104,13 @@ def _alignment_step_kernel(in_ref, out_ref, *, with_scale):
             out_ref[0, 14 + 3 * r + c] = R_tot[r][c]
     for r in range(3):
         out_ref[0, 23 + r] = t_tot[r]
-    for k in range(26, 32):
+    # Residual of the NEW transform in closed form (Horn): at the optimum,
+    # sum ||y - (s R p + t)||^2 = gy + s^2 gp - 2 s lambda_max.  Saves a full
+    # (N, 3) reduction pass per iteration.  f32 cancellation floor is
+    # ~ulp(gy), well below the 1e-5 convergence threshold at dataset scale.
+    out_ref[0, 26] = jnp.maximum(gy + s * s * gp - 2.0 * s * lam, 0.0)
+    out_ref[0, 27] = lam
+    for k in range(28, 32):
         out_ref[0, k] = 0.0
 
 
@@ -270,40 +191,83 @@ def _qcp_rotation_scalar(S, gp, gy):
         q = [wi * inv for wi in w]
     inv = jax.lax.rsqrt(jnp.maximum(q[0] ** 2 + q[1] ** 2 + q[2] ** 2 + q[3] ** 2, 1e-30))
     w_, x_, y_, z_ = q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv
-    return [
+    R = [
         [w_ * w_ + x_ * x_ - y_ * y_ - z_ * z_, 2.0 * (x_ * y_ - w_ * z_), 2.0 * (x_ * z_ + w_ * y_)],
         [2.0 * (x_ * y_ + w_ * z_), w_ * w_ - x_ * x_ + y_ * y_ - z_ * z_, 2.0 * (y_ * z_ - w_ * x_)],
         [2.0 * (x_ * z_ - w_ * y_), 2.0 * (y_ * z_ + w_ * x_), w_ * w_ - x_ * x_ - y_ * y_ + z_ * z_],
     ]
+    return R, (w_, x_, y_, z_), lam
+
+
+def pack_stats(stats) -> jax.Array:
+    """AlignmentStats -> (1, 32) f32 kernel input (one concatenate)."""
+    dt = jnp.float32
+    return jnp.concatenate(
+        [
+            stats.sum_py.astype(dt).reshape(-1),
+            stats.sum_p.astype(dt),
+            stats.sum_y.astype(dt),
+            stats.sum_pp.astype(dt).reshape(1),
+            stats.sum_yy.astype(dt).reshape(1),
+            stats.n.astype(dt).reshape(1),
+            jnp.zeros((14,), dt),
+        ]
+    ).reshape(1, 32)
+
+
+def identity_state() -> jax.Array:
+    """(1, 32) state block encoding the identity cumulative transform."""
+    out = jnp.zeros((1, 32), jnp.float32)
+    out = out.at[0, 13].set(1.0)  # s_tot
+    for k in range(3):
+        out = out.at[0, 14 + 4 * k].set(1.0)  # R_tot = I (slots 14, 18, 22)
+    return out
+
+
+def unpack_state(state: jax.Array):
+    """(step Similarity, total Similarity, residual_sum) from a state block."""
+    from icp_tpu.ops.alignment import Similarity
+
+    step = Similarity(
+        s=state[0, 0], R=state[0, 1:10].reshape(3, 3), t=state[0, 10:13]
+    )
+    total = Similarity(
+        s=state[0, 13], R=state[0, 14:23].reshape(3, 3), t=state[0, 23:26]
+    )
+    return step, total, state[0, 26]
+
+
+def alignment_step_state_pallas(stats_packed: jax.Array, prev_state: jax.Array,
+                                *, with_scale: bool = True,
+                                interpret: bool = False) -> jax.Array:
+    """State-block form: (packed stats, previous state block) -> new state
+    block.  The ICP loop carries the block verbatim between iterations — zero
+    repacking cost per iteration."""
+    return pl.pallas_call(
+        functools.partial(_alignment_step_kernel, with_scale=with_scale),
+        in_specs=[
+            pl.BlockSpec((1, 32), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 32), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 32), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 32), jnp.float32),
+        interpret=interpret,
+    )(stats_packed, prev_state)
 
 
 def alignment_step_pallas(stats, prev_sim, *, with_scale: bool = True,
                           interpret: bool = False):
     """(AlignmentStats, previous Similarity) -> (step Similarity,
-    composed Similarity) in one kernel dispatch."""
-    from icp_tpu.ops.alignment import Similarity
-
+    composed Similarity, residual_sum) in one kernel dispatch."""
     dt = jnp.float32
-    packed = jnp.zeros((1, 32), dt)
-    packed = packed.at[0, :9].set(stats.sum_py.astype(dt).reshape(-1))
-    packed = packed.at[0, 9:12].set(stats.sum_p.astype(dt))
-    packed = packed.at[0, 12:15].set(stats.sum_y.astype(dt))
-    packed = packed.at[0, 15].set(stats.sum_pp.astype(dt))
-    packed = packed.at[0, 16].set(stats.sum_yy.astype(dt))
-    packed = packed.at[0, 17].set(stats.n.astype(dt))
-    packed = packed.at[0, 18].set(prev_sim.s.astype(dt))
-    packed = packed.at[0, 19:28].set(prev_sim.R.astype(dt).reshape(-1))
-    packed = packed.at[0, 28:31].set(prev_sim.t.astype(dt))
-    out = pl.pallas_call(
-        functools.partial(_alignment_step_kernel, with_scale=with_scale),
-        in_specs=[pl.BlockSpec((1, 32), memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((1, 32), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 32), dt),
-        interpret=interpret,
-    )(packed)
-    step = Similarity(s=out[0, 0], R=out[0, 1:10].reshape(3, 3), t=out[0, 10:13])
-    total = Similarity(s=out[0, 13], R=out[0, 14:23].reshape(3, 3), t=out[0, 23:26])
-    return step, total
+    prev = jnp.zeros((1, 32), dt)
+    prev = prev.at[0, 13].set(prev_sim.s.astype(dt))
+    prev = prev.at[0, 14:23].set(prev_sim.R.astype(dt).reshape(-1))
+    prev = prev.at[0, 23:26].set(prev_sim.t.astype(dt))
+    out = alignment_step_state_pallas(
+        pack_stats(stats), prev, with_scale=with_scale, interpret=interpret
+    )
+    return unpack_state(out)
 
 
 def horn_rotation_pallas(S: jax.Array, gp: jax.Array, gy: jax.Array,
