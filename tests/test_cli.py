@@ -53,6 +53,35 @@ def test_full_run_writes_output(tmp_path):
     assert np.abs(out - ref).max() < 1e-3
 
 
+def test_slam_cli_chain(tmp_path):
+    # two tiny synthetic scans, scan1 = rigidly moved subset of scan0
+    rng = np.random.default_rng(0)
+    world = rng.standard_normal((200, 3))
+    th = 0.1
+    R = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    scan0 = world
+    scan1 = (world[:150] - np.array([0.05, 0.0, -0.02])) @ R  # inverse-ish pose
+    for name, pts in [("s0.txt", scan0), ("s1.txt", scan1)]:
+        with open(tmp_path / name, "w") as f:
+            f.write("Points_0,Points_1,Points_2\n")
+            for p in pts:
+                f.write(f"{p[0]:g},{p[1]:g},{p[2]:g}\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "icp_tpu.slam.cli", "s0.txt", "s1.txt",
+         "--max-iter", "40", "--nn", "bcast", "--solver", "eigh"],
+        capture_output=True, text=True, cwd=tmp_path, env=ENV, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "[slam] pair 0->1" in r.stderr
+    out0 = np.loadtxt(tmp_path / "registered_0.txt", delimiter=",", skiprows=1)
+    out1 = np.loadtxt(tmp_path / "registered_1.txt", delimiter=",", skiprows=1)
+    assert out0.shape == (200, 3) and out1.shape == (150, 3)
+    poses = np.load(tmp_path / "poses.npz")
+    assert poses["R"].shape == (2, 3, 3)
+    # registered scan1 should land on the corresponding world points
+    assert np.abs(out1 - world[:150]).max() < 0.05
+
+
 def test_checkpoint_roundtrip(tmp_path):
     for name in ("cow_ref.txt", "cow_tr1.txt"):
         src = open(data_path(name)).read().splitlines()
