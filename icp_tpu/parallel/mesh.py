@@ -26,6 +26,28 @@ def make_mesh(
     return Mesh(np.array(devices), (axis,))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: one call per host before any mesh construction.
+
+    Thin wrapper over ``jax.distributed.initialize`` (auto-detects on Cloud
+    TPU pods when called with no arguments).  After this, ``make_mesh()``
+    spans every chip in the slice and the sharded engine's collectives ride
+    ICI within hosts and DCN across them — the distributed backend the
+    reference lacks entirely (SURVEY.md §5).
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def points_sharding(mesh: Mesh, axis: str = POINTS_AXIS) -> NamedSharding:
     """Rows (points) sharded, coordinates replicated."""
     return NamedSharding(mesh, PartitionSpec(axis, None))
