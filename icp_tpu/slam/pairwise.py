@@ -20,6 +20,9 @@ from icp_tpu.engine.icp import ICPResult, icp
 from icp_tpu.ops.alignment import Similarity
 from icp_tpu.ops.transform import compose, identity_similarity
 
+# (multiscale registration uses every level's result as the next level's
+# initialization; see register_pair)
+
 
 @dataclasses.dataclass
 class PairwiseResult:
@@ -30,30 +33,117 @@ class PairwiseResult:
     iters: int
 
 
+def initialize_pca(
+    model: np.ndarray,
+    scene: np.ndarray,
+    *,
+    with_scale: bool = False,
+    subsample: int = 8,
+) -> Similarity:
+    """Global initialization by principal-axis alignment.
+
+    ICP is local: beyond a few tens of degrees of rotation it stalls in a
+    local minimum (the reference has no answer to this — its datasets are
+    mostly small transforms).  PCA alignment is rotation-global for clouds
+    with distinct principal axes: R = U_m D U_s^T over the four proper sign
+    flips D, scored by NN residual on subsampled clouds; t = mu_m - s R mu_s.
+    """
+    import jax.numpy as jnp
+
+    from icp_tpu.ops.distance import closest_point_indices
+    from icp_tpu.ops.transform import apply_similarity
+
+    m_sub = np.asarray(model[::subsample], np.float64)
+    s_sub = np.asarray(scene[::subsample], np.float64)
+    mu_m, mu_s = m_sub.mean(0), s_sub.mean(0)
+    Cm = np.cov((m_sub - mu_m).T)
+    Cs = np.cov((s_sub - mu_s).T)
+    wm, Um = np.linalg.eigh(Cm)
+    ws, Us = np.linalg.eigh(Cs)
+    if np.linalg.det(Um) < 0:
+        Um[:, 0] = -Um[:, 0]
+    if np.linalg.det(Us) < 0:
+        Us[:, 0] = -Us[:, 0]
+    s = float(np.sqrt(np.sum(wm) / np.sum(ws))) if with_scale else 1.0
+
+    best = None
+    for signs in ((1, 1, 1), (1, -1, -1), (-1, 1, -1), (-1, -1, 1)):
+        R = Um @ np.diag(signs) @ Us.T  # proper rotation (det = +1)
+        t = mu_m - s * R @ mu_s
+        cand = Similarity(
+            jnp.asarray(s, jnp.float32),
+            jnp.asarray(R, jnp.float32),
+            jnp.asarray(t, jnp.float32),
+        )
+        moved = apply_similarity(jnp.asarray(s_sub, jnp.float32), cand)
+        idx = closest_point_indices(moved, jnp.asarray(m_sub, jnp.float32),
+                                    method="bcast")
+        resid = float(jnp.mean(jnp.sum(
+            (moved - jnp.asarray(m_sub, jnp.float32)[idx]) ** 2, axis=1)))
+        if best is None or resid < best[0]:
+            best = (resid, cand)
+    return best[1]
+
+
 def register_pair(
     model: np.ndarray,
     scene: np.ndarray,
     config: Optional[ICPConfig] = None,
+    *,
+    multiscale: Sequence[int] = (1,),
+    init: Optional[object] = None,
 ) -> PairwiseResult:
-    """ICP-register ``scene`` onto ``model`` (unequal counts allowed)."""
+    """ICP-register ``scene`` onto ``model`` (unequal counts allowed).
+
+    ``multiscale``: subsampling factors, coarse to fine, e.g. ``(16, 4, 1)``.
+    Each level runs ICP on every k-th point starting from the previous
+    level's transform — most iterations run at coarse (1/k^2-cost) levels.
+
+    ``init``: optional global initialization — a ``Similarity``, or the
+    string ``"pca"`` for principal-axis alignment (rescues large-rotation
+    pairs that stall vanilla ICP; see ``initialize_pca``).
+    """
     cfg = config or ICPConfig()
     if cfg.validate_inputs:
         cfg = dataclasses.replace(cfg, validate_inputs=False)
-    res: ICPResult = icp(model, scene, cfg)
-    return PairwiseResult(
-        transform=res.transform, err=float(res.err), iters=int(res.iters)
-    )
+
+    import jax.numpy as jnp
+
+    from icp_tpu.ops.transform import apply_similarity
+
+    if init == "pca":
+        init = initialize_pca(model, scene, with_scale=cfg.with_scale)
+    if init is None:
+        total = identity_similarity(cfg.dtype)
+    else:
+        total = Similarity(
+            jnp.asarray(init.s, cfg.dtype),
+            jnp.asarray(init.R, cfg.dtype),
+            jnp.asarray(init.t, cfg.dtype),
+        )
+    err, iters = float("inf"), 0
+    for k in multiscale:
+        sub_model = np.ascontiguousarray(model[::k])
+        sub_scene = np.asarray(
+            apply_similarity(jnp.asarray(scene[::k], cfg.dtype), total)
+        )
+        res: ICPResult = icp(sub_model, sub_scene, cfg)
+        total = compose(total, res.transform)
+        err, iters = float(res.err), iters + int(res.iters)
+    return PairwiseResult(transform=total, err=err, iters=iters)
 
 
 def register_chain(
     clouds: Sequence[np.ndarray],
     config: Optional[ICPConfig] = None,
+    *,
+    multiscale: Sequence[int] = (1,),
 ) -> List[PairwiseResult]:
     """Register each scan onto its predecessor: results[i] maps cloud i+1
     into cloud i's frame."""
     out = []
     for a, b in zip(clouds[:-1], clouds[1:]):
-        out.append(register_pair(a, b, config))
+        out.append(register_pair(a, b, config, multiscale=multiscale))
     return out
 
 
