@@ -200,6 +200,191 @@ def _icp_sharded_jit(
     return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
 
 
+# ---------------------------------------------------------------------------
+# 2-D mesh engine: scene sharded over 'sp', model sharded over 'mp'
+# ---------------------------------------------------------------------------
+
+
+def make_mesh_2d(n_sp: int, n_mp: int, devices=None) -> Mesh:
+    """(sp, mp) mesh: scene points partitioned over ``sp``, model points over
+    ``mp``.  Each device owns an (N/sp, M/mp) block of the correspondence
+    problem — the 2-D analog of the reference's 2D CUDA thread grid
+    (``src/GPU/compute.cu:94-118``), at pod scale."""
+    if devices is None:
+        devices = jax.devices()[: n_sp * n_mp]
+    assert len(devices) >= n_sp * n_mp
+    return Mesh(np.array(devices[: n_sp * n_mp]).reshape(n_sp, n_mp), ("sp", "mp"))
+
+
+def _correspond_2d(p_loc, m_loc, *, mp_axis: str, n_mp: int, mp_index,
+                   nn_impl: str):
+    """Block-local argmin + fold over the model axis via all_gather.
+
+    Each device holds a scene shard (replicated over mp) and a model shard.
+    Local partial argmin against the held model shard, then the (dist, index,
+    point) candidates are all_gathered over ``mp`` (small: O(N_loc) per
+    device) and folded with lowest-global-index tie-breaking.
+    """
+    m_shard = m_loc.shape[0]
+    d, idx_local = _local_partial_argmin(p_loc, m_loc, nn_impl)
+    gi = idx_local + mp_index.astype(jnp.int32) * m_shard
+    pt = jnp.take(m_loc, idx_local, axis=0)
+    # gather candidates from every model shard: (n_mp, N_loc[, 3])
+    d_all = jax.lax.all_gather(d, mp_axis)
+    gi_all = jax.lax.all_gather(gi, mp_axis)
+    pt_all = jax.lax.all_gather(pt, mp_axis)
+
+    def fold(k, carry):
+        best_d, best_i, best_pt = carry
+        dk, gik, ptk = d_all[k], gi_all[k], pt_all[k]
+        better = jnp.logical_or(
+            dk < best_d, jnp.logical_and(dk == best_d, gik < best_i)
+        )
+        return (
+            jnp.where(better, dk, best_d),
+            jnp.where(better, gik, best_i),
+            jnp.where(better[:, None], ptk, best_pt),
+        )
+
+    init = (
+        jnp.full_like(d, _BIG),
+        jnp.full_like(gi, _INT_MAX),
+        jnp.zeros_like(pt),
+    )
+    _, best_i, best_pt = jax.lax.fori_loop(0, n_mp, fold, init)
+    return best_pt, best_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "max_iter",
+        "solver",
+        "with_scale",
+        "reference_compat",
+        "nn_impl",
+    ),
+)
+def _icp_sharded_2d_jit(
+    model_pad,
+    scene_pad,
+    scene_mask,
+    threshold,
+    *,
+    mesh: Mesh,
+    max_iter: int,
+    solver: str,
+    with_scale: bool,
+    reference_compat: bool,
+    nn_impl: str = "jnp",
+):
+    n_mp = mesh.shape["mp"]
+    dt = scene_pad.dtype
+
+    def local_icp(m_loc, p_loc, w_loc):
+        mp_index = jax.lax.axis_index("mp")
+
+        def cond(carry):
+            _, _, err, it = carry
+            return jnp.logical_and(it < max_iter, err >= threshold)
+
+        def body(carry):
+            p, sim_tot, _, it = carry
+            y, _ = _correspond_2d(
+                p, m_loc, mp_axis="mp", n_mp=n_mp, mp_index=mp_index,
+                nn_impl=nn_impl,
+            )
+            # stats: scene rows are replicated over mp -> reduce over sp only
+            stats = _masked_stats(p, y, w_loc, "sp")
+            sim = alignment_from_stats(stats, solver=solver, with_scale=with_scale)
+            p_new = apply_similarity(p, sim)
+            derr = y - p_new
+            err_sum = jax.lax.psum(
+                jnp.sum(w_loc * jnp.sum(derr * derr, axis=1)), "sp"
+            )
+            err = (2.0 * err_sum / stats.n) if reference_compat else (err_sum / stats.n)
+            return p_new, compose(sim_tot, sim), err, it + 1
+
+        init = (
+            p_loc,
+            identity_similarity(dt),
+            jnp.asarray(jnp.inf, dt),
+            jnp.asarray(0, jnp.int32),
+        )
+        p, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
+        return p, sim_tot, err, it
+
+    p, sim_tot, err, it = jax.shard_map(
+        local_icp,
+        mesh=mesh,
+        in_specs=(
+            PartitionSpec("mp", None),  # model over mp, replicated over sp
+            PartitionSpec("sp", None),  # scene over sp, replicated over mp
+            PartitionSpec("sp"),
+        ),
+        out_specs=(
+            PartitionSpec("sp", None),
+            PartitionSpec(),
+            PartitionSpec(),
+            PartitionSpec(),
+        ),
+        check_vma=False,
+    )(model_pad, scene_pad, scene_mask)
+    return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
+
+
+def icp_sharded_2d(
+    model,
+    scene,
+    config: Optional[ICPConfig] = None,
+    *,
+    mesh: Mesh,
+) -> ICPResult:
+    """ICP over a 2-D (sp, mp) mesh: scene and model partitioned on
+    independent axes; every device owns one block of the distance problem."""
+    cfg = config or ICPConfig()
+    n_sp = mesh.shape["sp"]
+    n_mp = mesh.shape["mp"]
+
+    model_np = np.asarray(model, np.dtype(cfg.dtype))
+    scene_np = np.asarray(scene, np.dtype(cfg.dtype))
+    n = scene_np.shape[0]
+
+    scene_pad = _pad_rows(scene_np, n_sp, 0.0)
+    model_pad = _pad_rows(model_np, n_mp, 1.0e17)
+    mask = np.zeros((scene_pad.shape[0],), np.dtype(cfg.dtype))
+    mask[:n] = 1.0
+
+    model_d = jax.device_put(
+        model_pad, NamedSharding(mesh, PartitionSpec("mp", None))
+    )
+    scene_d = jax.device_put(
+        scene_pad, NamedSharding(mesh, PartitionSpec("sp", None))
+    )
+    mask_d = jax.device_put(mask, NamedSharding(mesh, PartitionSpec("sp")))
+
+    backend = jax.default_backend()
+    res = _icp_sharded_2d_jit(
+        model_d,
+        scene_d,
+        mask_d,
+        jnp.asarray(cfg.threshold, cfg.dtype),
+        mesh=mesh,
+        max_iter=cfg.max_iter,
+        solver=cfg.resolved_solver(backend),
+        with_scale=cfg.with_scale,
+        reference_compat=cfg.reference_compat,
+        nn_impl="pallas" if cfg.resolved_nn_method(backend) == "pallas" else "jnp",
+    )
+    return ICPResult(
+        points=res.points[:n],
+        transform=res.transform,
+        err=res.err,
+        iters=res.iters,
+    )
+
+
 def _pad_rows(arr: np.ndarray, mult: int, fill: float) -> np.ndarray:
     n = arr.shape[0]
     n_pad = -(-n // mult) * mult

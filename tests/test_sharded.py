@@ -89,6 +89,40 @@ def test_ring_correspondence_global_indices(mesh8, rng):
     np.testing.assert_allclose(np.asarray(pt), m[want], rtol=1e-12)
 
 
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4), (8, 1), (1, 8)])
+def test_2d_mesh_matches_single_device(cow_pair, shape):
+    from icp_tpu.parallel.sharded import icp_sharded_2d, make_mesh_2d
+
+    ref, tr1 = cow_pair
+    ref, tr1 = np.ascontiguousarray(ref[::10]), np.ascontiguousarray(tr1[::10])
+    single = icp(ref, tr1, _cfg())
+    mesh = make_mesh_2d(*shape)
+    sharded = icp_sharded_2d(ref, tr1, _cfg(), mesh=mesh)
+    assert int(sharded.iters) == int(single.iters), f"shape={shape}"
+    np.testing.assert_allclose(
+        np.asarray(sharded.points), np.asarray(single.points), atol=1e-9,
+        err_msg=f"shape={shape}",
+    )
+
+
+def test_2d_mesh_odd_counts(rng):
+    from icp_tpu.parallel.sharded import icp_sharded_2d, make_mesh_2d
+
+    model = rng.standard_normal((1037, 3))
+    R = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+    if np.linalg.det(R) < 0:
+        R[:, 0] = -R[:, 0]
+    scene = 1.2 * (model[:291] @ R.T) + np.array([0.1, -0.2, 0.3])
+    cfg = _cfg(validate_inputs=False, max_iter=40)
+    mesh = make_mesh_2d(4, 2)
+    sharded = icp_sharded_2d(model, scene, cfg, mesh=mesh)
+    single = icp(model, scene, cfg)
+    assert int(sharded.iters) == int(single.iters)
+    np.testing.assert_allclose(
+        np.asarray(sharded.points), np.asarray(single.points), atol=1e-8
+    )
+
+
 def test_ring_tie_breaks_to_lowest_global_index(mesh8):
     from jax.sharding import PartitionSpec
 
