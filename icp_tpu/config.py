@@ -50,6 +50,11 @@ class ICPConfig:
         disable to register e.g. the bunny views.
       with_scale: estimate the similarity scale factor (reference always does);
         False gives rigid (SE(3)) alignment for SLAM use.
+      trim_fraction: trimmed-ICP outlier rejection — drop this fraction of
+        the worst correspondences (by current distance) from every alignment
+        solve.  0.0 (default) reproduces the reference exactly; ~0.1-0.4 is
+        typical for partially overlapping real scans.  Reported error becomes
+        the mean over KEPT correspondences.
     """
 
     max_iter: int = 200
@@ -63,6 +68,7 @@ class ICPConfig:
     model_tile: int = 4096
     validate_inputs: bool = True
     with_scale: bool = True
+    trim_fraction: float = 0.0
     mesh_shape: Optional[Tuple[int, ...]] = None
 
     def resolved_solver(self, backend: str) -> str:

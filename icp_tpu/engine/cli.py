@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nn", default="auto", choices=["auto", "bcast", "matmul", "pallas"])
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     p.add_argument("--no-scale", action="store_true", help="rigid (SE3) alignment")
+    p.add_argument("--trim", type=float, default=0.0, metavar="FRAC",
+                   help="trimmed ICP: reject this fraction of worst matches")
     p.add_argument("--no-validate", action="store_true",
                    help="lift the np==nm reference restriction")
     p.add_argument("--mse", action="store_true",
@@ -74,6 +76,7 @@ def main(argv=None) -> int:
         with_scale=not args.no_scale,
         validate_inputs=not args.no_validate,
         reference_compat=not args.mse,
+        trim_fraction=args.trim,
     )
 
     try:

@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from icp_tpu.config import ICPConfig
 from icp_tpu.ops.alignment import Similarity, alignment_from_stats, compute_alignment_stats
 from icp_tpu.ops.distance import closest_point_indices
-from icp_tpu.ops.transform import apply_and_error, compose, identity_similarity
+from icp_tpu.ops.transform import (
+    apply_and_error,
+    apply_similarity,
+    compose,
+    identity_similarity,
+)
 
 
 class ICPResult(NamedTuple):
@@ -48,6 +53,16 @@ class ICPTrace(NamedTuple):
     # convergence, mirroring the reference's early break)
 
 
+def _trim_weights(p: jax.Array, y: jax.Array, trim_fraction: float):
+    """Trimmed-ICP weights: keep the (1 - trim_fraction) best correspondences
+    by current squared distance (robust to partial overlap / outliers — a
+    capability the reference lacks entirely).  Static trim_fraction == 0.0
+    compiles to the exact untrimmed program."""
+    d2 = jnp.sum((y - p) ** 2, axis=1)
+    tau = jnp.quantile(d2, 1.0 - trim_fraction)
+    return (d2 <= tau).astype(p.dtype)
+
+
 def icp_step(
     p: jax.Array,
     model: jax.Array,
@@ -59,6 +74,7 @@ def icp_step(
     scene_tile: int,
     model_tile: int,
     acc_dtype=None,
+    trim_fraction: float = 0.0,
 ):
     """One ICP iteration: correspondence -> alignment -> apply+error.
 
@@ -68,10 +84,19 @@ def icp_step(
         p, model, method=nn_method, scene_tile=scene_tile, model_tile=model_tile
     )
     y = jnp.take(model, idx, axis=0)
-    stats = compute_alignment_stats(p, y, acc_dtype=acc_dtype)
-    sim = alignment_from_stats(stats, solver=solver, with_scale=with_scale)
-    p_new, err_sum = apply_and_error(p, y, sim)
-    n = jnp.asarray(p.shape[0], err_sum.dtype)
+    if trim_fraction > 0.0:
+        w = _trim_weights(p, y, trim_fraction)
+        stats = compute_alignment_stats(p, y, acc_dtype=acc_dtype, weights=w)
+        sim = alignment_from_stats(stats, solver=solver, with_scale=with_scale)
+        p_new = apply_similarity(p, sim)
+        d = y - p_new
+        err_sum = jnp.sum(w * jnp.sum(d * d, axis=1))
+        n = stats.n.astype(err_sum.dtype)
+    else:
+        stats = compute_alignment_stats(p, y, acc_dtype=acc_dtype)
+        sim = alignment_from_stats(stats, solver=solver, with_scale=with_scale)
+        p_new, err_sum = apply_and_error(p, y, sim)
+        n = jnp.asarray(p.shape[0], err_sum.dtype)
     err = (2.0 * err_sum / n) if reference_compat else (err_sum / n)
     return p_new, sim, err
 
@@ -87,6 +112,7 @@ def _step_and_compose(
     reference_compat,
     scene_tile,
     model_tile,
+    trim_fraction: float = 0.0,
 ):
     """One iteration + transform composition.
 
@@ -117,15 +143,17 @@ def _step_and_compose(
             interpret=interp,
         )
         y = jnp.take(model, idx, axis=0)
-        stats = compute_alignment_stats(p, y)
+        w = _trim_weights(p, y, trim_fraction) if trim_fraction > 0.0 else None
+        stats = compute_alignment_stats(p, y, weights=w)
         # err comes from the kernel in closed form (gy + s^2 gp - 2 s lambda,
-        # Horn's residual at the optimum) — no (N, 3) error reduction pass.
+        # Horn's residual at the optimum; with weighted stats this is the
+        # weighted residual) — no (N, 3) error reduction pass.
         new_state = alignment_step_state_pallas(
             pack_stats(stats), sim_tot, with_scale=with_scale, interpret=interp
         )
         sim, _, err_sum = unpack_state(new_state)
         p_new = apply_similarity(p, sim)
-        n = jnp.asarray(p.shape[0], err_sum.dtype)
+        n = stats.n.astype(err_sum.dtype)
         err = (2.0 * err_sum / n) if reference_compat else (err_sum / n)
         return p_new, new_state, err
 
@@ -138,6 +166,7 @@ def _step_and_compose(
         reference_compat=reference_compat,
         scene_tile=scene_tile,
         model_tile=model_tile,
+        trim_fraction=trim_fraction,
     )
     return p_new, compose(sim_tot, sim), err
 
@@ -172,6 +201,7 @@ def _finish_transform_state(state, solver: str, nn_method: str) -> Similarity:
         "reference_compat",
         "scene_tile",
         "model_tile",
+        "trim_fraction",
     ),
 )
 def _icp_while(
@@ -186,6 +216,7 @@ def _icp_while(
     reference_compat: bool,
     scene_tile: int,
     model_tile: int,
+    trim_fraction: float = 0.0,
 ):
     dt = scene.dtype
 
@@ -205,6 +236,7 @@ def _icp_while(
             reference_compat=reference_compat,
             scene_tile=scene_tile,
             model_tile=model_tile,
+            trim_fraction=trim_fraction,
         )
         return p_new, sim_tot2, err, it + 1
 
@@ -233,6 +265,7 @@ def _icp_while(
         "reference_compat",
         "scene_tile",
         "model_tile",
+        "trim_fraction",
     ),
 )
 def _icp_scan_trace(
@@ -247,6 +280,7 @@ def _icp_scan_trace(
     reference_compat: bool,
     scene_tile: int,
     model_tile: int,
+    trim_fraction: float = 0.0,
 ):
     """Fixed-shape scan variant that records the per-iteration error trace.
 
@@ -266,6 +300,7 @@ def _icp_scan_trace(
             reference_compat=reference_compat,
             scene_tile=scene_tile,
             model_tile=model_tile,
+            trim_fraction=trim_fraction,
         )
         keep = lambda new, old: jnp.where(done, old, new)
         p = keep(p_new, p)
@@ -303,6 +338,7 @@ def _icp_scan_trace(
         "reference_compat",
         "scene_tile",
         "model_tile",
+        "trim_fraction",
     ),
 )
 def icp_fixed_iters(
@@ -318,6 +354,7 @@ def icp_fixed_iters(
     reference_compat: bool = True,
     scene_tile: int = 256,
     model_tile: int = 4096,
+    trim_fraction: float = 0.0,
 ):
     """Run exactly ``n_iters`` iterations with no convergence exit — the
     benchmark workload (reference full-loop benches use 20 iterations,
@@ -336,6 +373,7 @@ def icp_fixed_iters(
             reference_compat=reference_compat,
             scene_tile=scene_tile,
             model_tile=model_tile,
+            trim_fraction=trim_fraction,
         )
         return p_new, sim_tot2, err
 
@@ -401,6 +439,7 @@ def icp(
         reference_compat=cfg.reference_compat,
         scene_tile=cfg.scene_tile,
         model_tile=cfg.model_tile,
+        trim_fraction=cfg.trim_fraction,
     )
     threshold = jnp.asarray(cfg.threshold, cfg.dtype)
     if trace:

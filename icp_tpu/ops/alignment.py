@@ -60,8 +60,14 @@ class AlignmentStats(NamedTuple):
     n: jax.Array  # () point count (float)
 
 
-def compute_alignment_stats(p: jax.Array, y: jax.Array, acc_dtype=None) -> AlignmentStats:
-    """Accumulate the alignment statistics of (N,3) clouds in one pass."""
+def compute_alignment_stats(
+    p: jax.Array, y: jax.Array, acc_dtype=None, weights: jax.Array | None = None
+) -> AlignmentStats:
+    """Accumulate the alignment statistics of (N,3) clouds in one pass.
+
+    ``weights`` (N,): optional per-correspondence weights (0/1 masks for
+    trimmed ICP, or soft robust weights); ``n`` becomes the weight sum.
+    """
     if acc_dtype is None:
         acc_dtype = p.dtype
     pa = p.astype(acc_dtype)
@@ -69,13 +75,24 @@ def compute_alignment_stats(p: jax.Array, y: jax.Array, acc_dtype=None) -> Align
     # HIGHEST precision: the TPU MXU default (bf16 inputs) pollutes the 3x3
     # cross-covariance enough to put a ~1e-4 floor on the convergence error
     # (measured on cow); full-f32 passes cost nothing at 3x3 output size.
+    if weights is None:
+        return AlignmentStats(
+            sum_p=jnp.sum(pa, axis=0),
+            sum_y=jnp.sum(ya, axis=0),
+            sum_py=jnp.matmul(pa.T, ya, precision=jax.lax.Precision.HIGHEST),
+            sum_pp=jnp.sum(pa * pa),
+            sum_yy=jnp.sum(ya * ya),
+            n=jnp.asarray(p.shape[0], acc_dtype),
+        )
+    w = weights.astype(acc_dtype)
+    pw = pa * w[:, None]
     return AlignmentStats(
-        sum_p=jnp.sum(pa, axis=0),
-        sum_y=jnp.sum(ya, axis=0),
-        sum_py=jnp.matmul(pa.T, ya, precision=jax.lax.Precision.HIGHEST),
-        sum_pp=jnp.sum(pa * pa),
-        sum_yy=jnp.sum(ya * ya),
-        n=jnp.asarray(p.shape[0], acc_dtype),
+        sum_p=jnp.sum(pw, axis=0),
+        sum_y=jnp.sum(ya * w[:, None], axis=0),
+        sum_py=jnp.matmul(pw.T, ya, precision=jax.lax.Precision.HIGHEST),
+        sum_pp=jnp.sum(w * jnp.sum(pa * pa, axis=1)),
+        sum_yy=jnp.sum(w * jnp.sum(ya * ya, axis=1)),
+        n=jnp.sum(w),
     )
 
 
