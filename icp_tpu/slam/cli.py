@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multiscale", type=int, nargs="*", default=[1],
                    help="coarse-to-fine subsampling levels, e.g. 16 4 1 "
                         "(widens the convergence basin for distant views)")
+    p.add_argument("--init", default=None, choices=[None, "pca"],
+                   help="per-pair global initialization (pca: principal-axis "
+                        "alignment; rescues large-rotation pairs)")
     p.add_argument("--scale", action="store_true",
                    help="similarity (allow per-pair scale); default rigid")
     p.add_argument("--refine", action="store_true",
@@ -61,7 +64,9 @@ def main(argv=None) -> int:
         with_scale=args.scale,
         validate_inputs=False,
     )
-    pairs = register_chain(reg_clouds, cfg, multiscale=tuple(args.multiscale))
+    pairs = register_chain(
+        reg_clouds, cfg, multiscale=tuple(args.multiscale), init=args.init
+    )
     for k, pr in enumerate(pairs):
         print(
             f"[slam] pair {k}->{k+1}: iters={pr.iters} err={pr.err:g}",

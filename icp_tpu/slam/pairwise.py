@@ -138,12 +138,14 @@ def register_chain(
     config: Optional[ICPConfig] = None,
     *,
     multiscale: Sequence[int] = (1,),
+    init: Optional[object] = None,
 ) -> List[PairwiseResult]:
     """Register each scan onto its predecessor: results[i] maps cloud i+1
-    into cloud i's frame."""
+    into cloud i's frame.  ``init="pca"`` applies per-pair PCA initialization
+    (recommended for chains with large inter-view rotations)."""
     out = []
     for a, b in zip(clouds[:-1], clouds[1:]):
-        out.append(register_pair(a, b, config, multiscale=multiscale))
+        out.append(register_pair(a, b, config, multiscale=multiscale, init=init))
     return out
 
 
