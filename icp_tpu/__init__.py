@@ -6,8 +6,23 @@ the component-by-component mapping and docs/ for the architecture.
 """
 
 from icp_tpu.config import ICPConfig
+from icp_tpu.engine.batched import icp_batched
 from icp_tpu.engine.icp import ICPResult, ICPTrace, icp, icp_fixed_iters, icp_step
 from icp_tpu.io.csv import load_matrix, write_matrix
+from icp_tpu.parallel.mesh import init_distributed, make_mesh
+from icp_tpu.parallel.sharded import icp_sharded, icp_sharded_2d, make_mesh_2d
+from icp_tpu.slam.pairwise import (
+    chain_to_world_poses,
+    initialize_pca,
+    register_chain,
+    register_pair,
+)
+from icp_tpu.slam.pose_graph import (
+    PoseEdge,
+    bundle_adjust,
+    bundle_adjust_sharded,
+    optimize_pose_graph,
+)
 from icp_tpu.ops.alignment import (
     AlignmentStats,
     Similarity,
@@ -30,8 +45,22 @@ __all__ = [
     "ICPResult",
     "ICPTrace",
     "icp",
+    "icp_batched",
     "icp_fixed_iters",
+    "icp_sharded",
+    "icp_sharded_2d",
     "icp_step",
+    "init_distributed",
+    "make_mesh",
+    "make_mesh_2d",
+    "register_pair",
+    "register_chain",
+    "chain_to_world_poses",
+    "initialize_pca",
+    "PoseEdge",
+    "optimize_pose_graph",
+    "bundle_adjust",
+    "bundle_adjust_sharded",
     "load_matrix",
     "write_matrix",
     "AlignmentStats",
