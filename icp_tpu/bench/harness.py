@@ -162,6 +162,8 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
             continue
         _progress(f"op {name} ...")
         per = amortized_op_time(fn, (ref, tr1))
+        # sub-us ops can difference to slightly negative under timing noise
+        per = max(per, 1e-7)
         results.append(
             dict(benchmark=name, time_us=per * 1e6, rate_per_s=1.0 / per)
         )

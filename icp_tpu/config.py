@@ -10,7 +10,7 @@ dataclass, consumable from Python or CLI flags.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+# (no typing imports needed)
 
 import jax.numpy as jnp
 
@@ -25,11 +25,11 @@ class ICPConfig:
         (reference: ``threshold = 1e-5``, ``src/cpu.hh:113``).  Checked against
         the *reported* error, which in ``reference_compat`` mode is ~2x the MSE
         (QUIRK-1, see ``engine/icp.py``).
-      dtype: compute dtype for point coordinates / distances.  The reference is
-        float64 throughout; on TPU the fast path is float32 (validated against
-        the float64 oracle in tests).
-      acc_dtype: dtype for centroid/covariance/error accumulation.  float32 is
-        the TPU-native choice; tests verify convergence parity vs the f64 oracle.
+      dtype: compute dtype for point coordinates / distances / accumulations.
+        The reference is float64 throughout; on TPU the fast path is float32
+        with HIGHEST-precision matmuls (validated against the float64 oracle
+        in tests; ``compute_alignment_stats`` accepts a separate ``acc_dtype``
+        for power users).
       reference_compat: if True, report the reference's error metric
         ``(err_alignment + err_apply) / np`` which double-counts the residual
         (~2x MSE, reference ``src/cpu.cc:63-73``).  If False, report plain MSE.
@@ -60,7 +60,6 @@ class ICPConfig:
     max_iter: int = 200
     threshold: float = 1e-5
     dtype: jnp.dtype = jnp.float32
-    acc_dtype: jnp.dtype = jnp.float32
     reference_compat: bool = True
     solver: str = "auto"
     nn_method: str = "auto"
@@ -69,7 +68,6 @@ class ICPConfig:
     validate_inputs: bool = True
     with_scale: bool = True
     trim_fraction: float = 0.0
-    mesh_shape: Optional[Tuple[int, ...]] = None
 
     def resolved_solver(self, backend: str) -> str:
         if self.solver != "auto":

@@ -41,7 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _COORD_LANES = 8  # 3 coords zero-padded to 8 sublane-friendly lanes
-_BIG = jnp.float32(3.0e38)  # sentinel distance for padded model points
+# Plain float (not jnp.float32(...)): jnp scalar construction at module scope
+# would allocate a device buffer at import time.
+_BIG = 3.0e38  # sentinel distance for padded model points
 
 
 def _nn_kernel(p_ref, mt_ref, mnorm_ref, dist_ref, idx_ref, *refs, precision,

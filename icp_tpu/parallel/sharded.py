@@ -42,7 +42,10 @@ from icp_tpu.ops.alignment import AlignmentStats, alignment_from_stats
 from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
 from icp_tpu.parallel.mesh import make_mesh
 
-_INT_MAX = jnp.int32(2**31 - 1)
+# Plain Python scalars on purpose: jnp scalar construction at module scope
+# allocates a device buffer at import time (breaks import in backend-less
+# environments and forces early backend init).
+_INT_MAX = 2**31 - 1
 _BIG = 3.0e38
 
 
