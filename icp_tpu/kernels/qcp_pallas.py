@@ -118,7 +118,18 @@ def _qcp_rotation_scalar(S, gp, gy):
     """Scalar-form QCP: S as 3x3 nested scalars -> rotation R (nested list).
 
     Shared by both kernels; same math as the array-form ``max_eigvec_qcp``.
+
+    Scale normalization: the adjugate's cofactors are cubic in |S|, so for
+    large clouds (|S| ~ 1e7 at 1M points) their squared norms overflow f32
+    (~1e42).  The eigenvector is invariant under uniform scaling of S, so the
+    whole solve runs on S/(gp+gy); the returned lambda is re-scaled so the
+    closed-form residual stays correct.
     """
+    total = jnp.maximum(gp + gy, 1e-30)
+    norm = 1.0 / total
+    S = [[S[r][c] * norm for c in range(3)] for r in range(3)]
+    gp = gp * norm
+    gy = gy * norm
     S00, S01, S02 = S[0]
     S10, S11, S12 = S[1]
     S20, S21, S22 = S[2]
@@ -183,7 +194,11 @@ def _qcp_rotation_scalar(S, gp, gy):
         take = norms[j] > best
         best = jnp.where(take, norms[j], best)
         q = [jnp.where(take, adj[k][j], q[k]) for k in range(4)]
-    q = [qk + 1e-6 for qk in q]
+    # degenerate-adjugate rescue: branchless select of an all-ones seed (an
+    # unconditional epsilon would contaminate the healthy case — see
+    # max_eigvec_qcp)
+    degenerate = best < 1e-16
+    q = [jnp.where(degenerate, 1.0, qk) for qk in q]
     shift = jnp.sqrt(jnp.maximum(gp * gy, 0.0)) + 1.0
     for _ in range(_POWER_ITERS):
         w = [sum(N[i][j] * q[j] for j in range(4)) + shift * q[i] for i in range(4)]
@@ -196,7 +211,7 @@ def _qcp_rotation_scalar(S, gp, gy):
         [2.0 * (x_ * y_ + w_ * z_), w_ * w_ - x_ * x_ + y_ * y_ - z_ * z_, 2.0 * (y_ * z_ - w_ * x_)],
         [2.0 * (x_ * z_ - w_ * y_), 2.0 * (y_ * z_ + w_ * x_), w_ * w_ - x_ * x_ - y_ * y_ + z_ * z_],
     ]
-    return R, (w_, x_, y_, z_), lam
+    return R, (w_, x_, y_, z_), lam * total  # un-scale lambda for callers
 
 
 def pack_stats(stats) -> jax.Array:

@@ -202,6 +202,14 @@ def max_eigvec_qcp(N: jax.Array, S: jax.Array, gp: jax.Array, gy: jax.Array,
     jitted TPU while_loop, unlike a general eigensolver.
     """
     dt = N.dtype
+    # Scale-normalize: adjugate cofactors are cubic in |N|, so their squared
+    # norms overflow f32 for large clouds (|S| ~ 1e7 at 1M points -> 1e42).
+    # The eigenvector is invariant under uniform scaling.
+    scale = 1.0 / jnp.maximum(gp + gy, jnp.asarray(1e-30, dt))
+    N = N * scale
+    S = S * scale
+    gp = gp * scale
+    gy = gy * scale
     c2 = -2.0 * jnp.sum(S * S)
     c1 = -8.0 * _det3(S)
     c0 = _det4(N)
@@ -223,10 +231,13 @@ def max_eigvec_qcp(N: jax.Array, S: jax.Array, gp: jax.Array, gy: jax.Array,
     adj = _adjugate4(N - lam * jnp.eye(4, dtype=dt))
     norms = jnp.sum(adj * adj, axis=0)
     v = adj[:, jnp.argmax(norms)]
-    # Degenerate-spectrum safety net: shifted power iterations on the PSD
-    # matrix N + (lam0 + 1) I keep a valid v unchanged and rescue a zero adj.
+    # Degenerate-spectrum safety net: if the adjugate collapsed (repeated
+    # eigenvalue), fall back to an all-ones seed and let the shifted power
+    # iterations find the top eigenspace.  Branchless select — adding an
+    # epsilon unconditionally would contaminate the healthy case.
     B = N + (lam0 + jnp.asarray(1.0, dt)) * jnp.eye(4, dtype=dt)
-    v = v + jnp.full((4,), 1e-6, dt)
+    degenerate = jnp.max(norms) < jnp.asarray(1e-16, dt)
+    v = jnp.where(degenerate, jnp.ones((4,), dt), v)
 
     for _ in range(power_iters):  # unrolled: see the Newton comment above
         w = jnp.sum(B * v[None, :], axis=1)  # fusable matvec (no tiny matmul)
