@@ -81,6 +81,22 @@ def test_qcp_matches_eigh_f32(rng):
         assert abs(float(sim_e.s) - float(sim_q.s)) < 1e-5
 
 
+@pytest.mark.parametrize("solver", ["qcp", "qcp_fused"])
+def test_qcp_no_overflow_at_scale(solver, rng):
+    """Large clouds/coordinates make |S| ~ 1e8; the adjugate's squared
+    cofactor norms (~1e48) overflowed f32 to NaN before scale normalization
+    (regression: found on a 1M-point run)."""
+    p = (rng.standard_normal((10_000, 3)) * 100.0).astype(np.float32)
+    R = random_rotation(rng).astype(np.float32)
+    y = (p @ R.T + np.float32(5.0)).astype(np.float32)
+    sim, err = al.find_alignment(
+        jnp.asarray(p, jnp.float32), jnp.asarray(y, jnp.float32), solver=solver
+    )
+    assert np.isfinite(np.asarray(sim.R)).all()
+    assert np.isfinite(float(err))
+    assert _rot_distance(sim.R, R) < 1e-4
+
+
 def test_stats_shift_identity(rng):
     # alignment_from_stats must equal the directly-centered computation.
     p = rng.standard_normal((30, 3)) + 5.0  # offset to stress the shift form
