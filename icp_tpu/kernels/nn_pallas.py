@@ -46,6 +46,56 @@ _COORD_LANES = 8  # 3 coords zero-padded to 8 sublane-friendly lanes
 _BIG = 3.0e38  # sentinel distance for padded model points
 
 
+def _nn_kernel_chunked(p_ref, mt_ref, mnorm_ref, dist_ref, idx_ref):
+    """Lane-chunked fold: distances computed 128 lanes at a time with a
+    running (best-distance, chunk-index) carry held in registers — the
+    (TN, TM) distance tile never exists, even in VMEM.  One cross-lane
+    argmin at the end over (TN, 128).
+
+    Tie contract preserved: strict < across chunks keeps the lowest chunk;
+    the final masked-min minimizes the true global index (chunk*128 + lane).
+    """
+    j = pl.program_id(1)
+    tn = p_ref.shape[0]
+    tm = mt_ref.shape[1]
+    n_chunks = tm // 128
+
+    px = p_ref[:, 0][:, None]
+    py = p_ref[:, 1][:, None]
+    pz = p_ref[:, 2][:, None]
+
+    best = jnp.full((tn, 128), jnp.float32(_BIG))
+    cidx = jnp.zeros((tn, 128), jnp.int32)
+    for c in range(n_chunks):  # unrolled; static trip count
+        sl = slice(c * 128, (c + 1) * 128)
+        dx = px - mt_ref[0, sl][None, :]
+        dy = py - mt_ref[1, sl][None, :]
+        dz = pz - mt_ref[2, sl][None, :]
+        dc = dx * dx + dy * dy + dz * dz
+        # padded model rows sit at 1e17 per coord => dc ~ 3e34, never wins
+        better = dc < best
+        best = jnp.where(better, dc, best)
+        cidx = jnp.where(better, jnp.int32(c), cidx)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tn, 128), dimension=1)
+    gidx_lane = cidx * 128 + lane  # local index within this model tile
+    local_min = jnp.min(best, axis=1, keepdims=True)
+    masked = jnp.where(best == local_min, gidx_lane, jnp.int32(2**31 - 1))
+    local_arg = jnp.min(masked, axis=1, keepdims=True)
+    gidx = local_arg + j * tm
+
+    @pl.when(j == 0)
+    def _init():
+        dist_ref[:] = local_min
+        idx_ref[:] = gidx
+
+    @pl.when(j > 0)
+    def _fold():
+        better = local_min < dist_ref[:]
+        dist_ref[:] = jnp.where(better, local_min, dist_ref[:])
+        idx_ref[:] = jnp.where(better, gidx, idx_ref[:])
+
+
 def _nn_kernel(p_ref, mt_ref, mnorm_ref, dist_ref, idx_ref, *refs, precision,
                native_argmin, distance_impl, with_points=False):
     y_ref = refs[0] if with_points else None
@@ -166,6 +216,17 @@ def _closest_pallas(
         "high": jax.lax.Precision.HIGH,  # not implemented by Mosaic; kept
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
+    if distance_impl == "chunked":
+        assert not with_points, "chunked path returns indices only"
+        kernel = _nn_kernel_chunked
+    else:
+        kernel = functools.partial(
+            _nn_kernel,
+            precision=prec,
+            native_argmin=native_argmin,
+            distance_impl=distance_impl,
+            with_points=with_points,
+        )
     grid = (n_pad // tn, m_pad // tm)
     out_specs = [
         pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -181,13 +242,7 @@ def _closest_pallas(
         )
         out_shape.append(jax.ShapeDtypeStruct((n_pad, _COORD_LANES), dt))
     outs = pl.pallas_call(
-        functools.partial(
-            _nn_kernel,
-            precision=prec,
-            native_argmin=native_argmin,
-            distance_impl=distance_impl,
-            with_points=with_points,
-        ),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tn, _COORD_LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

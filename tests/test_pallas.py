@@ -37,6 +37,41 @@ def test_pallas_matches_oracle(n, m, tn, tm, rng):
     assert (got == want).mean() > 0.99
 
 
+@pytest.mark.parametrize(
+    "n,m,tn,tm",
+    [(40, 300, 16, 128), (100, 1000, 32, 256), (257, 129, 64, 128)],
+)
+def test_chunked_kernel_matches_oracle(n, m, tn, tm, rng):
+    from icp_tpu.kernels.nn_pallas import _closest_pallas
+
+    p = rng.standard_normal((n, 3)).astype(np.float32)
+    mm = rng.standard_normal((m, 3)).astype(np.float32)
+    want = oracle.closest_indices(p.astype(np.float64), mm.astype(np.float64))
+    got = np.asarray(
+        _closest_pallas(
+            jnp.asarray(p), jnp.asarray(mm), scene_tile=tn, model_tile=tm,
+            interpret=True, with_dist=False, distance_impl="chunked",
+        )
+    )
+    d_got = np.sum((p - mm[got]) ** 2, axis=1)
+    d_want = np.sum((p - mm[want]) ** 2, axis=1)
+    np.testing.assert_allclose(d_got, d_want, rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_kernel_tie_break(rng):
+    from icp_tpu.kernels.nn_pallas import _closest_pallas
+
+    m = np.ones((300, 3), np.float32)
+    p = rng.standard_normal((16, 3)).astype(np.float32)
+    got = np.asarray(
+        _closest_pallas(
+            jnp.asarray(p), jnp.asarray(m), scene_tile=8, model_tile=128,
+            interpret=True, with_dist=False, distance_impl="chunked",
+        )
+    )
+    np.testing.assert_array_equal(got, np.zeros(16, np.int32))
+
+
 def test_pallas_tie_break_lowest_index_within_and_across_tiles(rng):
     # duplicates placed in different model tiles; lowest global index must win
     m = np.ones((300, 3), np.float32)  # all identical -> index 0 wins
