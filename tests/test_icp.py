@@ -105,3 +105,17 @@ def test_mse_mode_is_half_compat(cow_small):
     mse = icp(ref, tr1, ICPConfig(max_iter=3, threshold=0.0, dtype=jnp.float64,
                                   nn_method="bcast", reference_compat=False), trace=True)
     np.testing.assert_allclose(np.asarray(compat.errs), 2 * np.asarray(mse.errs), rtol=1e-12)
+
+
+def test_cow_tr2_five_column_workload(cow_pair):
+    """cow_tr2 has 5 CSV columns and a different exact transform; both the
+    loader contract and registration must handle it."""
+    from icp_tpu.io.csv import load_matrix
+    from tests.conftest import data_path
+
+    ref, _ = cow_pair
+    tr2 = load_matrix(data_path("cow_tr2.txt"))
+    assert tr2.shape == (2903, 3)
+    res = icp(ref, tr2, ICPConfig(max_iter=40, dtype=jnp.float64, nn_method="bcast"))
+    assert float(res.err) < 1e-5
+    assert np.abs(np.asarray(res.points) - np.asarray(ref)).max() < 1e-3

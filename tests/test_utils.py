@@ -51,3 +51,13 @@ def test_icp_guard_flag(cow_pair):
     cfg = ICPConfig(max_iter=2, dtype=jnp.float64, nn_method="bcast")
     res = icp(ref[::50], tr1[::50], cfg, guard=True)  # finite path: no raise
     assert np.isfinite(float(res.err))
+
+
+def test_profiling_trace_smoke(tmp_path):
+    """trace() must not break the computation whether or not the backend
+    supports profiling."""
+    from icp_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path / "prof")):
+        x = jnp.ones((64, 64))
+        assert float(jnp.sum(x)) == 64 * 64
