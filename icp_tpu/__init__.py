@@ -8,6 +8,8 @@ the component-by-component mapping and docs/ for the architecture.
 from icp_tpu.config import ICPConfig
 from icp_tpu.engine.batched import icp_batched
 from icp_tpu.engine.icp import ICPResult, ICPTrace, icp, icp_fixed_iters, icp_step
+from icp_tpu.engine.point_to_plane import icp_point_to_plane
+from icp_tpu.ops.normals import estimate_normals, orient_normals
 from icp_tpu.io.csv import load_matrix, write_matrix
 from icp_tpu.parallel.mesh import init_distributed, make_mesh
 from icp_tpu.parallel.sharded import icp_sharded, icp_sharded_2d, make_mesh_2d
@@ -46,6 +48,9 @@ __all__ = [
     "ICPTrace",
     "icp",
     "icp_batched",
+    "icp_point_to_plane",
+    "estimate_normals",
+    "orient_normals",
     "icp_fixed_iters",
     "icp_sharded",
     "icp_sharded_2d",

@@ -1,0 +1,100 @@
+"""Surface-normal estimation — TPU-native, closed-form, batched.
+
+Prerequisite for point-to-plane ICP (``engine/point_to_plane.py``).  No
+reference counterpart (the reference is point-to-point only).
+
+Design: kNN per point via chunked brute-force distances + ``jax.lax.top_k``
+(same MXU/VPU-friendly pattern as the correspondence kernel; memory is
+O(chunk x N)), then the normal is the smallest eigenvector of the local
+covariance — computed in closed form (trigonometric eigenvalues + row-cross
+eigenvector), fully branchless: no LAPACK-style ``eigh`` whose in-loop
+compilation is pathological on this stack (docs/PERF.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _smallest_eigvec_sym3(C: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue of a symmetric (..., 3, 3).
+
+    Eigenvalues via the trigonometric closed form (Smith '61); eigenvector as
+    the largest cross product of rows of (C - lambda_min I) (the null-space
+    direction of a rank-2 symmetric matrix).
+    """
+    dt = C.dtype
+    # scale-normalize for conditioning
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(C), axis=(-1, -2), keepdims=True), jnp.asarray(1e-30, dt)
+    )
+    A = C / scale
+    q = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / 3.0
+    B = A - q * jnp.eye(3, dtype=dt)
+    p2 = jnp.sum(B * B, axis=(-1, -2))[..., None, None] / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, jnp.asarray(1e-30, dt)))
+    detB = jnp.linalg.det(B / p)[..., None, None]
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # eigenvalues: q + 2p cos(phi + 2k pi / 3); smallest at k=1 shift
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    M = A - lam_min * jnp.eye(3, dtype=dt)
+    r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c12 = jnp.cross(r1, r2)
+    c20 = jnp.cross(r2, r0)
+    cands = jnp.stack([c01, c12, c20], axis=-2)  # (..., 3, 3)
+    norms = jnp.sum(cands * cands, axis=-1)  # (..., 3)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+    return v * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), jnp.asarray(1e-30, dt))
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def estimate_normals(points: jax.Array, *, k: int = 16, chunk: int = 512) -> jax.Array:
+    """(N, 3) cloud -> (N, 3) unit normals from k-nearest-neighbor PCA.
+
+    Orientation is arbitrary (point-to-plane residuals are squared; flip with
+    ``orient_normals`` if a consistent orientation is needed).
+    """
+    n = points.shape[0]
+    dt = points.dtype
+    k_eff = min(k + 1, n)  # +1: the point itself is its own nearest neighbor
+
+    pad = (-n) % chunk
+    pts_pad = jnp.concatenate(
+        [points, jnp.full((pad, 3), 1e17, dt)], axis=0
+    ) if pad else points
+
+    def one_chunk(chunk_pts):
+        # (chunk, N) squared distances — the only O(chunk*N) buffer
+        d2 = jnp.sum(
+            (chunk_pts[:, None, :] - points[None, :, :]) ** 2, axis=-1
+        )
+        _, idx = jax.lax.top_k(-d2, k_eff)  # (chunk, k_eff) nearest
+        nbrs = points[idx]  # (chunk, k_eff, 3)
+        mu = jnp.mean(nbrs, axis=1, keepdims=True)
+        cent = nbrs - mu
+        C = jnp.einsum(
+            "cki,ckj->cij", cent, cent,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return _smallest_eigvec_sym3(C)
+
+    chunks = pts_pad.reshape(-1, chunk, 3)
+    normals = jax.lax.map(one_chunk, chunks).reshape(-1, 3)
+    return normals[:n]
+
+
+def orient_normals(points: jax.Array, normals: jax.Array,
+                   viewpoint=(0.0, 0.0, 0.0)) -> jax.Array:
+    """Flip normals to face the given viewpoint (sensor origin)."""
+    vp = jnp.asarray(viewpoint, points.dtype)
+    toward = vp[None, :] - points
+    sign = jnp.sign(jnp.sum(toward * normals, axis=1, keepdims=True))
+    return normals * jnp.where(sign == 0, 1.0, sign)

@@ -1,0 +1,92 @@
+"""Normal estimation + point-to-plane ICP tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icp_tpu import ICPConfig
+from icp_tpu.engine.point_to_plane import icp_point_to_plane
+from icp_tpu.ops.normals import estimate_normals, orient_normals
+
+
+def test_normals_on_plane(rng):
+    # points on z = 0.3x - 0.2y + 1  ->  normal prop. to (-0.3, 0.2, 1)
+    xy = rng.uniform(-1, 1, (500, 2))
+    z = 0.3 * xy[:, 0] - 0.2 * xy[:, 1] + 1.0
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    n = np.asarray(estimate_normals(jnp.asarray(pts), k=12))
+    want = np.array([-0.3, 0.2, 1.0])
+    want = want / np.linalg.norm(want)
+    dots = np.abs(n @ want)  # orientation-agnostic
+    assert np.median(dots) > 0.999
+
+
+def test_normals_on_sphere(rng):
+    v = rng.standard_normal((800, 3))
+    pts = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+    n = np.asarray(estimate_normals(jnp.asarray(pts), k=12))
+    dots = np.abs(np.sum(n * pts, axis=1))  # radial
+    assert np.median(dots) > 0.99
+
+
+def test_orient_normals():
+    pts = np.array([[1.0, 0, 0], [0, 2.0, 0]], np.float32)
+    nrm = np.array([[1.0, 0, 0], [0, -1.0, 0]], np.float32)
+    out = np.asarray(orient_normals(jnp.asarray(pts), jnp.asarray(nrm)))
+    # both should point toward the origin (viewpoint)
+    assert out[0, 0] == -1.0
+    assert out[1, 1] == -1.0
+
+
+def _wavy_surface(rng, n=2000):
+    xy = rng.uniform(-1, 1, (n, 2))
+    z = 0.25 * np.sin(3 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+    return np.column_stack([xy, z]).astype(np.float64)
+
+
+def _small_rigid(rng, rot=0.05, ts=0.05):
+    w = rot * rng.standard_normal(3)
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    U, _, Vt = np.linalg.svd(np.eye(3) + K)
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R[:, 0] = -R[:, 0]
+    return R, ts * rng.standard_normal(3)
+
+
+def test_point_to_plane_converges_on_surface(rng):
+    model = _wavy_surface(rng)
+    R, t = _small_rigid(rng)
+    scene = (model - t) @ R  # inverse transform
+    cfg = ICPConfig(max_iter=30, dtype=jnp.float64, nn_method="bcast",
+                    validate_inputs=False, threshold=1e-12)
+    res = icp_point_to_plane(model, scene, cfg)
+    # recovered transform maps scene back onto the surface
+    np.testing.assert_allclose(np.asarray(res.transform.R), R, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.transform.t), t, atol=1e-4)
+
+
+def test_point_to_plane_beats_point_to_point_on_disjoint_sampling(rng):
+    """Model and scene sample the SAME surface at DIFFERENT locations (the
+    real scan-matching situation).  Point-to-point can only pull sample
+    points onto sample points and biases toward the sampling; point-to-plane
+    aligns to the surface itself — the classic motivation for the metric."""
+    from icp_tpu import icp
+
+    def surf(xy):
+        z = 0.25 * np.sin(3 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+        return np.column_stack([xy, z])
+
+    model = surf(rng.uniform(-1, 1, (4000, 2)))
+    scene_pts = surf(rng.uniform(-0.9, 0.9, (2500, 2)))  # different samples
+    R, t = _small_rigid(rng, rot=0.02)
+    t = np.array([0.03, -0.02, 0.015])
+    scene = (scene_pts - t) @ R
+    cfg = ICPConfig(max_iter=30, dtype=jnp.float64, nn_method="bcast",
+                    with_scale=False, validate_inputs=False, threshold=1e-14)
+    p2pl = icp_point_to_plane(model, scene, cfg)
+    p2pt = icp(model, scene, cfg)
+    err_pl = np.abs(np.asarray(p2pl.transform.t) - t).max()
+    err_pt = np.abs(np.asarray(p2pt.transform.t) - t).max()
+    assert err_pl < 2e-3, (err_pl, err_pt)
+    assert err_pl < err_pt / 3, (err_pl, err_pt)
