@@ -8,7 +8,10 @@ the component-by-component mapping and docs/ for the architecture.
 from icp_tpu.config import ICPConfig
 from icp_tpu.engine.batched import icp_batched
 from icp_tpu.engine.icp import ICPResult, ICPTrace, icp, icp_fixed_iters, icp_step
-from icp_tpu.engine.point_to_plane import icp_point_to_plane
+from icp_tpu.engine.point_to_plane import (
+    icp_point_to_plane,
+    icp_point_to_plane_sharded,
+)
 from icp_tpu.ops.normals import estimate_normals, orient_normals
 from icp_tpu.io.csv import load_matrix, write_matrix
 from icp_tpu.parallel.mesh import init_distributed, make_mesh
@@ -49,6 +52,7 @@ __all__ = [
     "icp",
     "icp_batched",
     "icp_point_to_plane",
+    "icp_point_to_plane_sharded",
     "estimate_normals",
     "orient_normals",
     "icp_fixed_iters",

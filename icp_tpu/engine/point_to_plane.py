@@ -115,6 +115,110 @@ def _icp_p2pl_while(
     return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
 
 
+def icp_point_to_plane_sharded(
+    model,
+    scene,
+    config: Optional[ICPConfig] = None,
+    *,
+    normals=None,
+    normal_k: int = 16,
+    mesh=None,
+):
+    """Multi-chip point-to-plane: scene sharded over the points mesh, model +
+    normals all-gathered once per device, 6x6 normal equations psum-reduced,
+    solve + Rodrigues replicated.  Same Schur-style collective pattern as the
+    sharded Horn engine."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from icp_tpu.ops.normals import estimate_normals
+    from icp_tpu.parallel.mesh import make_mesh
+    from icp_tpu.parallel.sharded import _pad_rows
+
+    cfg = config or ICPConfig()
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+
+    model_j = jnp.asarray(model, cfg.dtype)
+    if normals is None:
+        normals = estimate_normals(model_j, k=normal_k)
+    normals_np = np.asarray(normals, np.dtype(cfg.dtype))
+    model_np = np.asarray(model, np.dtype(cfg.dtype))
+    scene_np = np.asarray(scene, np.dtype(cfg.dtype))
+    n = scene_np.shape[0]
+
+    scene_pad = _pad_rows(scene_np, n_dev, 0.0)
+    model_pad = _pad_rows(model_np, n_dev, 1.0e17)
+    normals_pad = _pad_rows(normals_np, n_dev, 0.0)
+    mask = np.zeros((scene_pad.shape[0],), np.dtype(cfg.dtype))
+    mask[:n] = 1.0
+
+    shard = NamedSharding(mesh, PartitionSpec(axis, None))
+    row = NamedSharding(mesh, PartitionSpec(axis))
+    args = (
+        jax.device_put(model_pad, shard),
+        jax.device_put(normals_pad, shard),
+        jax.device_put(scene_pad, shard),
+        jax.device_put(mask, row),
+    )
+
+    max_iter = cfg.max_iter
+    threshold = jnp.asarray(cfg.threshold, cfg.dtype)
+    nn_method = "bcast"  # local NN against the gathered model
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(m_loc, nrm_loc, p_loc, w_loc):
+        def local(m_loc, nrm_loc, p_loc, w_loc):
+            m_full = jax.lax.all_gather(m_loc, axis, tiled=True)
+            nrm_full = jax.lax.all_gather(nrm_loc, axis, tiled=True)
+            dt = p_loc.dtype
+
+            def cond(carry):
+                _, _, err, it = carry
+                return jnp.logical_and(it < max_iter, err >= threshold)
+
+            def body(carry):
+                p, sim_tot, _, it = carry
+                idx = closest_point_indices(p, m_full, method=nn_method)
+                y = jnp.take(m_full, idx, axis=0)
+                nv = jnp.take(nrm_full, idx, axis=0)
+                r = jnp.sum(nv * (p - y), axis=1) * w_loc
+                J = jnp.concatenate([jnp.cross(p, nv), nv], axis=1) * w_loc[:, None]
+                A = jax.lax.psum(
+                    jnp.einsum("ni,nj->ij", J, J,
+                               precision=jax.lax.Precision.HIGHEST), axis)
+                b = jax.lax.psum(
+                    jnp.einsum("ni,n->i", J, r,
+                               precision=jax.lax.Precision.HIGHEST), axis)
+                x = -jnp.linalg.solve(A + 1e-9 * jnp.eye(6, dtype=dt), b)
+                sim = Similarity(s=jnp.asarray(1.0, dt), R=_rodrigues(x[:3]), t=x[3:])
+                p_new = apply_similarity(p, sim)
+                nw = jax.lax.psum(jnp.sum(w_loc), axis)
+                err = jax.lax.psum(
+                    jnp.sum((jnp.sum(nv * (p_new - y), axis=1) * w_loc) ** 2), axis
+                ) / nw
+                return p_new, compose(sim_tot, sim), err, it + 1
+
+            init = (p_loc, identity_similarity(dt), jnp.asarray(jnp.inf, dt),
+                    jnp.asarray(0, jnp.int32))
+            p, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
+            return p, sim_tot, err, it
+
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+            out_specs=(P(axis, None), P(), P(), P()),
+            check_vma=False,
+        )(m_loc, nrm_loc, p_loc, w_loc)
+
+    p, sim_tot, err, it = run(*args)
+    return ICPResult(points=p[:n], transform=sim_tot, err=err, iters=it)
+
+
 def icp_point_to_plane(
     model,
     scene,

@@ -90,3 +90,25 @@ def test_point_to_plane_beats_point_to_point_on_disjoint_sampling(rng):
     err_pt = np.abs(np.asarray(p2pt.transform.t) - t).max()
     assert err_pl < 2e-3, (err_pl, err_pt)
     assert err_pl < err_pt / 3, (err_pl, err_pt)
+
+
+def test_point_to_plane_sharded_matches_single(rng):
+    import jax
+
+    from icp_tpu.engine.point_to_plane import icp_point_to_plane_sharded
+    from icp_tpu.ops.normals import estimate_normals
+    from icp_tpu.parallel.mesh import make_mesh
+
+    model = _wavy_surface(rng, 1200)
+    R, t = _small_rigid(rng)
+    scene = (model[:900] - t) @ R  # unequal counts + odd sizes
+    cfg = ICPConfig(max_iter=25, dtype=jnp.float64, nn_method="bcast",
+                    validate_inputs=False, threshold=1e-14)
+    normals = estimate_normals(jnp.asarray(model, jnp.float64), k=12)
+    single = icp_point_to_plane(model, scene, cfg, normals=normals)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = icp_point_to_plane_sharded(model, scene, cfg, normals=normals,
+                                         mesh=mesh)
+    assert int(sharded.iters) == int(single.iters)
+    np.testing.assert_allclose(np.asarray(sharded.points),
+                               np.asarray(single.points), atol=1e-8)
