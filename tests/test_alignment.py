@@ -124,3 +124,35 @@ def test_apply_similarity_matches_reference_order(rng):
     got = np.asarray(apply_similarity(jnp.asarray(p), sim))
     want = (2.0 * (R @ p.T) + np.array([1.0, 0.0, -1.0])[:, None]).T
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+@pytest.mark.parametrize("solver", ["qcp", "qcp_fused", "eigh"])
+def test_degenerate_identical_points(solver):
+    """All-identical correspondences: S is rank-0, the adjugate collapses —
+    the rescue path must produce a finite (identity-ish) rotation, not NaN."""
+    p = jnp.ones((10, 3), jnp.float32)
+    y = jnp.full((10, 3), 2.0, jnp.float32)
+    sim, err = al.find_alignment(p, y, solver=solver, with_scale=False)
+    assert np.isfinite(np.asarray(sim.R)).all()
+    assert np.isfinite(np.asarray(sim.t)).all()
+    # translation alone must map p onto y
+    np.testing.assert_allclose(
+        np.asarray(sim.R @ np.ones(3) + np.asarray(sim.t)), np.full(3, 2.0),
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("solver", ["qcp", "qcp_fused"])
+def test_degenerate_collinear_points(solver, rng):
+    """Collinear clouds (rank-1 covariance): rotation about the line is
+    unobservable, but the solve must stay finite and map the line onto the
+    line."""
+    t_param = np.linspace(-1, 1, 50)[:, None]
+    d = np.array([[1.0, 2.0, -0.5]])
+    p = (t_param * d).astype(np.float32)
+    y = (t_param * d + np.array([[0.3, -0.1, 0.2]])).astype(np.float32)
+    sim, err = al.find_alignment(jnp.asarray(p), jnp.asarray(y), solver=solver,
+                                 with_scale=False)
+    assert np.isfinite(np.asarray(sim.R)).all()
+    moved = np.asarray(p) @ np.asarray(sim.R).T + np.asarray(sim.t)
+    assert np.abs(moved - y).max() < 1e-3
