@@ -1,0 +1,57 @@
+"""Generalized-ICP tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from icp_tpu import ICPConfig
+from icp_tpu.engine.gicp import _inv3_batched, disk_covariances, icp_generalized
+from tests.test_point_to_plane import _small_rigid, _wavy_surface
+
+
+def test_disk_covariances_shape_and_spectrum(rng):
+    n = rng.standard_normal((20, 3))
+    n = n / np.linalg.norm(n, axis=1, keepdims=True)
+    C = np.asarray(disk_covariances(jnp.asarray(n, jnp.float64), eps=1e-3))
+    for k in range(20):
+        w = np.linalg.eigvalsh(C[k])
+        np.testing.assert_allclose(sorted(w), [1e-3, 1.0, 1.0], atol=1e-6)
+
+
+def test_inv3_batched_matches_numpy(rng):
+    M = rng.standard_normal((50, 3, 3))
+    M = M @ M.transpose(0, 2, 1) + 0.1 * np.eye(3)  # SPD
+    inv = np.asarray(_inv3_batched(jnp.asarray(M)))
+    np.testing.assert_allclose(inv, np.linalg.inv(M), rtol=1e-8, atol=1e-10)
+
+
+def test_gicp_recovers_transform(rng):
+    model = _wavy_surface(rng, 1500)
+    R, t = _small_rigid(rng)
+    scene = (model - t) @ R
+    cfg = ICPConfig(max_iter=40, dtype=jnp.float64, nn_method="bcast",
+                    validate_inputs=False, threshold=1e-14)
+    res = icp_generalized(model, scene, cfg)
+    np.testing.assert_allclose(np.asarray(res.transform.R), R, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.transform.t), t, atol=1e-4)
+
+
+def test_gicp_beats_point_to_point_on_disjoint_sampling(rng):
+    from icp_tpu import icp
+
+    def surf(xy):
+        z = 0.25 * np.sin(3 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+        return np.column_stack([xy, z])
+
+    model = surf(rng.uniform(-1, 1, (3000, 2)))
+    scene_pts = surf(rng.uniform(-0.9, 0.9, (2000, 2)))
+    R, t = _small_rigid(rng, rot=0.02)
+    t = np.array([0.03, -0.02, 0.015])
+    scene = (scene_pts - t) @ R
+    cfg = ICPConfig(max_iter=30, dtype=jnp.float64, nn_method="bcast",
+                    with_scale=False, validate_inputs=False, threshold=1e-14)
+    gicp = icp_generalized(model, scene, cfg)
+    p2pt = icp(model, scene, cfg)
+    err_g = np.abs(np.asarray(gicp.transform.t) - t).max()
+    err_p = np.abs(np.asarray(p2pt.transform.t) - t).max()
+    assert err_g < 2e-3, (err_g, err_p)
+    assert err_g < err_p / 3, (err_g, err_p)
