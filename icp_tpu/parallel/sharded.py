@@ -72,6 +72,32 @@ def _local_partial_argmin(p_loc: jax.Array, m_cur: jax.Array, nn_impl: str):
     return dmin, idx
 
 
+def _distributed_quantile(d2, w, q, axis: str, rounds: int = 2,
+                          bins: int = 32):
+    """Approximate global q-quantile of masked values across shards.
+
+    Two rounds of 32-bin histogram refinement = ~1/1024 relative bracket,
+    costing ``rounds`` psums of a (bins,) vector — the distributed stand-in
+    for ``jnp.quantile`` that trimmed ICP needs (an exact distributed sort
+    would be absurd for a 30%-trim threshold).
+    """
+    dt = d2.dtype
+    lo = jnp.zeros((), dt)
+    hi = jax.lax.pmax(jnp.max(jnp.where(w > 0, d2, 0.0)), axis) + jnp.asarray(1e-12, dt)
+    n_total = jax.lax.psum(jnp.sum(w), axis)
+    target = q * n_total
+    for _ in range(rounds):
+        edges = lo + (hi - lo) * jnp.arange(1, bins + 1, dtype=dt) / bins
+        cnt = jax.lax.psum(
+            jnp.sum(w[:, None] * (d2[:, None] <= edges[None, :]), axis=0), axis
+        )
+        ok = cnt >= target
+        idx = jnp.argmax(ok)  # first bin covering the target count
+        lo = jnp.where(idx > 0, edges[jnp.maximum(idx - 1, 0)], lo)
+        hi = edges[idx]
+    return hi
+
+
 def _masked_stats(p, y, w, axis: str) -> AlignmentStats:
     """Global AlignmentStats from masked local rows via one psum."""
     pw = p * w[:, None]
@@ -144,6 +170,7 @@ def _allgather_correspond(p_loc, m_loc, *, axis: str, n_dev: int, nn_impl: str =
         "reference_compat",
         "ring",
         "nn_impl",
+        "trim_fraction",
     ),
 )
 def _icp_sharded_jit(
@@ -159,6 +186,7 @@ def _icp_sharded_jit(
     reference_compat: bool,
     ring: bool,
     nn_impl: str = "jnp",
+    trim_fraction: float = 0.0,
 ):
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
@@ -173,11 +201,19 @@ def _icp_sharded_jit(
         def body(carry):
             p, sim_tot, _, it = carry
             y, _ = correspond(p, m_loc, axis=axis, n_dev=n_dev, nn_impl=nn_impl)
-            stats = _masked_stats(p, y, w_loc, axis)
+            if trim_fraction > 0.0:
+                d2 = jnp.sum((y - p) ** 2, axis=1)
+                tau = _distributed_quantile(
+                    d2, w_loc, 1.0 - trim_fraction, axis
+                )
+                w_eff = w_loc * (d2 <= tau).astype(w_loc.dtype)
+            else:
+                w_eff = w_loc
+            stats = _masked_stats(p, y, w_eff, axis)
             sim = alignment_from_stats(stats, solver=solver, with_scale=with_scale)
             p_new = apply_similarity(p, sim)
             derr = y - p_new
-            err_sum = jax.lax.psum(jnp.sum(w_loc * jnp.sum(derr * derr, axis=1)), axis)
+            err_sum = jax.lax.psum(jnp.sum(w_eff * jnp.sum(derr * derr, axis=1)), axis)
             err = (2.0 * err_sum / stats.n) if reference_compat else (err_sum / stats.n)
             return p_new, compose(sim_tot, sim), err, it + 1
 
@@ -442,6 +478,7 @@ def icp_sharded(
         reference_compat=cfg.reference_compat,
         ring=ring,
         nn_impl="pallas" if cfg.resolved_nn_method(backend) == "pallas" else "jnp",
+        trim_fraction=cfg.trim_fraction,
     )
     return ICPResult(
         points=res.points[:n],

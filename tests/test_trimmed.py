@@ -58,3 +58,28 @@ def test_trimmed_fused_path_interpret(cow_pair, rng):
     res = icp(world, scene, cfg)
     R_err = np.abs(np.asarray(res.transform.R) @ R - np.eye(3)).max()
     assert R_err < 1e-3
+
+
+def test_trimmed_sharded_matches_single(rng):
+    """Sharded trimmed ICP (distributed histogram quantile) recovers the
+    outlier-corrupted transform like the single-device quantile path."""
+    import jax
+
+    from icp_tpu.parallel.mesh import make_mesh
+    from icp_tpu.parallel.sharded import icp_sharded
+
+    world, scene, R, t = _make_outlier_problem(rng)
+    base = dict(max_iter=60, dtype=jnp.float64, solver="eigh",
+                nn_method="bcast", with_scale=False, validate_inputs=False,
+                trim_fraction=0.3)
+    single = icp(world, scene, ICPConfig(**base))
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = icp_sharded(world, scene, ICPConfig(**base), mesh=mesh, ring=True)
+    R_err = np.abs(np.asarray(sharded.transform.R) @ R - np.eye(3)).max()
+    assert R_err < 1e-3, R_err
+    # the approximate quantile may differ from jnp.quantile at the margin;
+    # both must land on the same transform
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform.t), np.asarray(single.transform.t),
+        atol=1e-3,
+    )
