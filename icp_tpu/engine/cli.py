@@ -11,6 +11,12 @@ Extras beyond the reference (flags, all optional): ``--threshold``,
 ``--solver``, ``--nn``, ``--dtype``, ``--no-scale``, ``--no-validate``,
 ``--output``, ``--mse`` (plain-MSE error metric), ``--sharded`` (multi-chip),
 ``--checkpoint`` (save (s, R, t, iter, err) npz).
+
+Documented CLI-surface divergence from the reference: ``nb_iter`` is parsed
+with ``int()`` — a non-integer argument exits 2 with an argparse error,
+whereas the reference's ``std::atoi`` silently treats garbage as 0 and runs
+0 iterations (``src/main.cc:14``).  Strict atoi emulation would silently mask
+user error, so the stricter behavior is kept deliberately.
 """
 
 from __future__ import annotations
@@ -57,6 +63,14 @@ def main(argv=None) -> int:
         print("Usage: icp [path_to_ref_cloud] [path_to_transform_cloud] [nb_iter]")
         return -1
     args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.dtype == "float64":
+        # Without x64, jnp.asarray(..., float64) silently downcasts to f32
+        # and the oracle-parity guarantees of the f64 path evaporate.  Enable
+        # it before any array touches the backend.
+        jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
 

@@ -22,23 +22,41 @@ oracle.
 
 from __future__ import annotations
 
+import re
 import sys
 import numpy as np
 
+# strtod-style numeric prefix: optional whitespace, then a float literal
+# (decimal/exponent/inf/nan).  Used to mirror sscanf("%lf,%lf,%lf") exactly.
+_NUM_PREFIX = re.compile(
+    r"[ \t\r\n\f\v]*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+    r"|[+-]?inf(?:inity)?|[+-]?nan)",
+    re.IGNORECASE,
+)
+
 
 def _parse_lines_exact(lines: list[str]) -> np.ndarray:
-    """Slow-but-exact parser mirroring sscanf('%lf,%lf,%lf') per line."""
+    """Slow-but-exact parser mirroring sscanf('%lf,%lf,%lf') per line.
+
+    scanf semantics (reference ``src/load.cc:26``): each ``%lf`` parses the
+    longest numeric prefix (leading whitespace skipped); the literal ``,`` in
+    the format must match the very next character.  So ``1.5abc,2,3`` yields
+    ``[1.5, 0, 0]`` — the prefix is KEPT, then the comma match fails and the
+    rest of the line is ignored (fields default to 0).
+    """
     out = np.zeros((len(lines), 3), dtype=np.float64)
     for i, line in enumerate(lines):
-        parts = line.split(",")
+        pos = 0
         for d in range(3):
-            if d < len(parts):
-                try:
-                    out[i, d] = float(parts[d])
-                except ValueError:
-                    break  # sscanf stops at the first non-matching field
-            else:
+            m = _NUM_PREFIX.match(line, pos)
+            if not m:
                 break
+            out[i, d] = float(m.group(1))
+            pos = m.end()
+            if d < 2:
+                if pos >= len(line) or line[pos] != ",":
+                    break  # sscanf: literal ',' must immediately follow
+                pos += 1
     return out
 
 
@@ -68,7 +86,12 @@ def load_matrix(
     print("[load] loading file into matrix", file=sys.stderr)
     data_lines = lines[1:]  # skip exactly one header row
     try:
-        # Fast path: clean numeric CSV (possibly with extra columns).
+        # Fast path: clean numeric CSV (possibly with extra columns).  Any
+        # whitespace inside a line defeats the fast path: genfromtxt strips
+        # padding around fields while the scanf contract treats a space
+        # before the separator as a match failure (``1.5 ,2,3`` -> [1.5,0,0]).
+        if any((" " in ln) or ("\t" in ln) for ln in data_lines):
+            raise ValueError("whitespace in fields; use exact parser")
         arr = np.genfromtxt(
             data_lines, delimiter=",", usecols=(0, 1, 2), dtype=np.float64
         )

@@ -303,6 +303,7 @@ def _correspond_2d(p_loc, m_loc, *, mp_axis: str, n_mp: int, mp_index,
         "with_scale",
         "reference_compat",
         "nn_impl",
+        "trim_fraction",
     ),
 )
 def _icp_sharded_2d_jit(
@@ -317,6 +318,7 @@ def _icp_sharded_2d_jit(
     with_scale: bool,
     reference_compat: bool,
     nn_impl: str = "jnp",
+    trim_fraction: float = 0.0,
 ):
     n_mp = mesh.shape["mp"]
     dt = scene_pad.dtype
@@ -334,13 +336,21 @@ def _icp_sharded_2d_jit(
                 p, m_loc, mp_axis="mp", n_mp=n_mp, mp_index=mp_index,
                 nn_impl=nn_impl,
             )
+            if trim_fraction > 0.0:
+                # Scene rows (and thus y, folded deterministically over mp)
+                # are replicated over mp — quantile + stats reduce over sp.
+                d2 = jnp.sum((y - p) ** 2, axis=1)
+                tau = _distributed_quantile(d2, w_loc, 1.0 - trim_fraction, "sp")
+                w_eff = w_loc * (d2 <= tau).astype(w_loc.dtype)
+            else:
+                w_eff = w_loc
             # stats: scene rows are replicated over mp -> reduce over sp only
-            stats = _masked_stats(p, y, w_loc, "sp")
+            stats = _masked_stats(p, y, w_eff, "sp")
             sim = alignment_from_stats(stats, solver=solver, with_scale=with_scale)
             p_new = apply_similarity(p, sim)
             derr = y - p_new
             err_sum = jax.lax.psum(
-                jnp.sum(w_loc * jnp.sum(derr * derr, axis=1)), "sp"
+                jnp.sum(w_eff * jnp.sum(derr * derr, axis=1)), "sp"
             )
             err = (2.0 * err_sum / stats.n) if reference_compat else (err_sum / stats.n)
             return p_new, compose(sim_tot, sim), err, it + 1
@@ -415,6 +425,7 @@ def icp_sharded_2d(
         with_scale=cfg.with_scale,
         reference_compat=cfg.reference_compat,
         nn_impl="pallas" if cfg.resolved_nn_method(backend) == "pallas" else "jnp",
+        trim_fraction=cfg.trim_fraction,
     )
     return ICPResult(
         points=res.points[:n],

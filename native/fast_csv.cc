@@ -80,12 +80,18 @@ long long icp_csv_load(const char* path, double* out, long long capacity) {
     for (int d = 0; d < 3 && q < line_end; ++d) {
       char* after = nullptr;
       double x = std::strtod(q, &after);
-      if (after == q) break;  // sscanf stops at first non-matching field
+      // sscanf("%lf,...") semantics: no conversion stops the line; a number
+      // whose whitespace skip crossed the line boundary does not count.
+      if (after == q || after > line_end) break;
       v[d] = x;
       q = after;
-      // Advance past the next comma (field separator).
-      while (q < line_end && *q != ',') ++q;
-      if (q < line_end) ++q;
+      if (d < 2) {
+        // The format's literal ',' must match the VERY next character —
+        // trailing garbage before the separator ends the line (the parsed
+        // prefix is kept), matching sscanf: "1.5abc,2,3" -> [1.5, 0, 0].
+        if (q >= line_end || *q != ',') break;
+        ++q;
+      }
     }
     out[row * 3 + 0] = v[0];
     out[row * 3 + 1] = v[1];

@@ -35,6 +35,23 @@ def test_load_unparsable_fields_default_zero(tmp_path):
     np.testing.assert_allclose(arr, [[1.5, 0.0, 0.0], [0.0, 0.0, 0.0], [3.0, 0.0, 0.0]])
 
 
+def test_load_trailing_garbage_scanf_semantics(tmp_path):
+    # sscanf("%lf,%lf,%lf"): the numeric prefix is converted and KEPT, then
+    # the literal ',' fails to match the garbage character and the line stops
+    # (remaining fields stay 0).  "1.5abc,2,3" -> [1.5, 0, 0].
+    f = tmp_path / "garbage.txt"
+    f.write_text("h1,h2,h3\n1.5abc,2,3\n1.5 ,2,3\n-2e1,0.5x,9\n7,8,9\n")
+    expected = [[1.5, 0.0, 0.0], [1.5, 0.0, 0.0], [-20.0, 0.5, 0.0], [7.0, 8.0, 9.0]]
+    arr = load_matrix(str(f), use_native=False)
+    np.testing.assert_allclose(arr, expected)
+    # native parser must agree field-for-field
+    from icp_tpu.io import native
+
+    if native.get_lib() is not None:
+        nat = native.try_load(str(f))
+        np.testing.assert_array_equal(nat, arr)
+
+
 def test_write_roundtrip(tmp_path):
     pts = np.array([[0.605538, 0.183122, -0.472278], [1.0, -2.0, 3.0]])
     out = str(tmp_path / "out.txt")

@@ -83,3 +83,25 @@ def test_trimmed_sharded_matches_single(rng):
         np.asarray(sharded.transform.t), np.asarray(single.transform.t),
         atol=1e-3,
     )
+
+
+def test_trimmed_sharded_2d_matches_single(rng):
+    """Trim on the 2-D (sp, mp) mesh (quantile over sp; scene rows replicated
+    over mp) recovers the same transform as the single-device path."""
+    import jax
+
+    from icp_tpu.parallel.sharded import icp_sharded_2d, make_mesh_2d
+
+    world, scene, R, t = _make_outlier_problem(rng)
+    base = dict(max_iter=60, dtype=jnp.float64, solver="eigh",
+                nn_method="bcast", with_scale=False, validate_inputs=False,
+                trim_fraction=0.3)
+    single = icp(world, scene, ICPConfig(**base))
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    sharded = icp_sharded_2d(world, scene, ICPConfig(**base), mesh=mesh)
+    R_err = np.abs(np.asarray(sharded.transform.R) @ R - np.eye(3)).max()
+    assert R_err < 1e-3, R_err
+    np.testing.assert_allclose(
+        np.asarray(sharded.transform.t), np.asarray(single.transform.t),
+        atol=1e-3,
+    )
