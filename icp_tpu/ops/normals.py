@@ -1,14 +1,16 @@
 """Surface-normal estimation — TPU-native, closed-form, batched.
 
-Prerequisite for point-to-plane ICP (``engine/point_to_plane.py``).  No
-reference counterpart (the reference is point-to-point only).
+Prerequisite for point-to-plane ICP (``engine/point_to_plane.py``) and GICP.
+No reference counterpart (the reference is point-to-point only).
 
-Design: kNN per point via chunked brute-force distances + ``jax.lax.top_k``
-(same MXU/VPU-friendly pattern as the correspondence kernel; memory is
-O(chunk x N)), then the normal is the smallest eigenvector of the local
-covariance — computed in closed form (trigonometric eigenvalues + row-cross
-eigenvector), fully branchless: no LAPACK-style ``eigh`` whose in-loop
-compilation is pathological on this stack (docs/PERF.md).
+Design: kNN per point via the fused tiled Pallas kernel
+(``kernels/knn_pallas.py`` — the k-best-carry generalization of the
+correspondence kernel; the earlier chunked ``lax.top_k`` formulation cost
+2.2 s on the 2,903-point cow and was O(chunk x N) in memory), then the
+normal is the smallest eigenvector of the local covariance — computed in
+closed form (trigonometric eigenvalues + row-cross eigenvector), fully
+branchless: no LAPACK-style ``eigh`` whose in-loop compilation is
+pathological on this stack (docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -55,40 +57,39 @@ def _smallest_eigvec_sym3(C: jax.Array) -> jax.Array:
     )
 
 
+def normals_from_neighbor_indices(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """(N, 3) cloud + (N, k) neighbor indices -> (N, 3) unit normals via
+    local-covariance PCA (closed-form smallest eigenvector)."""
+    nbrs = points[idx]  # (N, k, 3)
+    mu = jnp.mean(nbrs, axis=1, keepdims=True)
+    cent = nbrs - mu
+    C = jnp.einsum(
+        "cki,ckj->cij", cent, cent,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return _smallest_eigvec_sym3(C)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def estimate_normals(points: jax.Array, *, k: int = 16, chunk: int = 512) -> jax.Array:
+def estimate_normals(points: jax.Array, *, k: int = 16,
+                     chunk: int | None = None) -> jax.Array:
     """(N, 3) cloud -> (N, 3) unit normals from k-nearest-neighbor PCA.
 
+    Neighbors come from the fused kNN Pallas kernel (exact f32 distances;
+    the neighbor SET is all PCA needs, so the f32 kernel serves every dtype).
     Orientation is arbitrary (point-to-plane residuals are squared; flip with
     ``orient_normals`` if a consistent orientation is needed).
+
+    ``chunk`` is accepted for back-compatibility and ignored (the old
+    chunked ``top_k`` formulation it tuned is gone).
     """
+    del chunk
+    from icp_tpu.kernels.knn_pallas import knn_pallas
+
     n = points.shape[0]
-    dt = points.dtype
     k_eff = min(k + 1, n)  # +1: the point itself is its own nearest neighbor
-
-    pad = (-n) % chunk
-    pts_pad = jnp.concatenate(
-        [points, jnp.full((pad, 3), 1e17, dt)], axis=0
-    ) if pad else points
-
-    def one_chunk(chunk_pts):
-        # (chunk, N) squared distances — the only O(chunk*N) buffer
-        d2 = jnp.sum(
-            (chunk_pts[:, None, :] - points[None, :, :]) ** 2, axis=-1
-        )
-        _, idx = jax.lax.top_k(-d2, k_eff)  # (chunk, k_eff) nearest
-        nbrs = points[idx]  # (chunk, k_eff, 3)
-        mu = jnp.mean(nbrs, axis=1, keepdims=True)
-        cent = nbrs - mu
-        C = jnp.einsum(
-            "cki,ckj->cij", cent, cent,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return _smallest_eigvec_sym3(C)
-
-    chunks = pts_pad.reshape(-1, chunk, 3)
-    normals = jax.lax.map(one_chunk, chunks).reshape(-1, 3)
-    return normals[:n]
+    _, idx = knn_pallas(points, points, k_eff)
+    return normals_from_neighbor_indices(points, idx)
 
 
 def orient_normals(points: jax.Array, normals: jax.Array,
