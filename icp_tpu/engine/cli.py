@@ -10,7 +10,8 @@ Reference surface (``src/main.cc:6-25``, ``src/GPU/main.cc:3-21``):
 Extras beyond the reference (flags, all optional): ``--threshold``,
 ``--solver``, ``--nn``, ``--dtype``, ``--no-scale``, ``--no-validate``,
 ``--output``, ``--mse`` (plain-MSE error metric), ``--sharded`` (multi-chip),
-``--checkpoint`` (save (s, R, t, iter, err) npz).
+``--checkpoint`` / ``--checkpoint-every`` / ``--resume`` (periodic state
+saves + kill-safe resume), ``--metrics`` (structured JSON run record).
 
 Documented CLI-surface divergence from the reference: ``nb_iter`` is parsed
 with ``int()`` — a non-integer argument exits 2 with an argparse error,
@@ -39,7 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=1e-5)
     p.add_argument("--solver", default="auto",
                    choices=["auto", "eigh", "qcp", "qcp_fused", "kabsch"])
-    p.add_argument("--nn", default="auto", choices=["auto", "bcast", "matmul", "pallas"])
+    p.add_argument("--nn", default="auto",
+                   choices=["auto", "bcast", "matmul", "pallas", "grid"])
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     p.add_argument("--no-scale", action="store_true", help="rigid (SE3) alignment")
     p.add_argument("--trim", type=float, default=0.0, metavar="FRAC",
@@ -53,6 +55,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard points over all available devices")
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="save transform state (s, R, t, iter, err) as npz")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="K",
+                   help="save the checkpoint every K iterations (runs the "
+                        "loop in K-iteration chunks; requires --checkpoint)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the --checkpoint file if it exists "
+                        "(bit-for-bit continuation of a killed run)")
+    p.add_argument("--metrics", default=None, metavar="PATH",
+                   help="write a structured JSON run record (per-iteration "
+                        "error trace, iters, wall time, backend/op config)")
+    p.add_argument("--metrics-ops", action="store_true",
+                   help="with --metrics: also measure the per-iteration "
+                        "correspondence/alignment device-time split "
+                        "(amortized protocol; adds benchmark time)")
     return p
 
 
@@ -93,13 +108,39 @@ def main(argv=None) -> int:
         trim_fraction=args.trim,
     )
 
+    if (args.checkpoint_every or args.resume) and not args.checkpoint:
+        print("--checkpoint-every/--resume require --checkpoint PATH",
+              file=sys.stderr)
+        return -1
+
     try:
-        if args.sharded:
+        if args.checkpoint_every or args.resume:
+            from icp_tpu.engine.icp import icp_resumable
+
+            res = icp_resumable(
+                model, scene, cfg,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every or 50,
+                resume=args.resume,
+            )
+            errs, iters = None, int(res.iters)
+        elif args.sharded:
             from icp_tpu.parallel.sharded import icp_sharded
 
             # Sharded path reports the final error (no on-device trace yet).
             res = icp_sharded(model, scene, cfg)
             errs, iters = None, int(res.iters)
+        elif args.metrics:
+            from icp_tpu.utils.metrics import run_with_metrics
+
+            tr, rec = run_with_metrics(model, scene, cfg,
+                                       measure_ops=args.metrics_ops)
+            res = tr.result
+            iters = rec.iters
+            errs = np.asarray(tr.errs)[:iters]
+            with open(args.metrics, "w") as f:
+                f.write(rec.to_json() + "\n")
+            print(f"[metrics] written to {args.metrics}", file=sys.stderr)
         else:
             tr = icp(model, scene, cfg, trace=True)
             res = tr.result

@@ -23,7 +23,9 @@ and halves the flops; ``reference_compat=False`` reports the plain MSE.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -175,12 +177,34 @@ def _is_fused(solver: str, nn_method: str) -> bool:
     return solver == "qcp_fused" and nn_method == "pallas"
 
 
-def _init_transform_state(solver: str, nn_method: str, dt):
+def _init_transform_state(solver: str, nn_method: str, dt, init_sim=None):
     if _is_fused(solver, nn_method):
-        from icp_tpu.kernels.qcp_pallas import identity_state
+        from icp_tpu.kernels.qcp_pallas import identity_state, pack_total_state
 
-        return identity_state()
-    return identity_similarity(dt)
+        return identity_state() if init_sim is None else pack_total_state(init_sim)
+    if init_sim is None:
+        return identity_similarity(dt)
+    return Similarity(
+        s=jnp.asarray(init_sim.s, dt),
+        R=jnp.asarray(init_sim.R, dt),
+        t=jnp.asarray(init_sim.t, dt),
+    )
+
+
+def _cast_sim(init_sim, dt) -> Similarity:
+    return Similarity(
+        s=jnp.asarray(init_sim.s, dt),
+        R=jnp.asarray(init_sim.R, dt),
+        t=jnp.asarray(init_sim.t, dt),
+    )
+
+
+def _warm_start(scene, init_sim):
+    """Initial cloud: the raw scene, or scene pushed through the warm-start
+    transform (resume / PCA init / coarser multiscale level)."""
+    if init_sim is None:
+        return scene
+    return apply_similarity(scene, _cast_sim(init_sim, scene.dtype))
 
 
 def _finish_transform_state(state, solver: str, nn_method: str) -> Similarity:
@@ -217,8 +241,10 @@ def _icp_while(
     scene_tile: int,
     model_tile: int,
     trim_fraction: float = 0.0,
+    init_sim=None,
 ):
     dt = scene.dtype
+    scene = _warm_start(scene, init_sim)
 
     def cond(carry):
         _, _, err, it = carry
@@ -242,7 +268,7 @@ def _icp_while(
 
     init = (
         scene,
-        _init_transform_state(solver, nn_method, dt),
+        _init_transform_state(solver, nn_method, dt, init_sim),
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
     )
@@ -253,6 +279,120 @@ def _icp_while(
         err=err,
         iters=it,
     )
+
+
+class ICPGuardError(RuntimeError):
+    """Raised by ``icp(guard="device")`` when the loop aborts on a
+    non-finite or diverging error (status and iteration in the message)."""
+
+
+# err > factor * best-so-far aborts the guarded loop.  ICP error is not
+# strictly monotone (trim/tie churn gives small bumps), so the factor is
+# deliberately loose — this catches blow-ups, not plateaus.
+_DIVERGE_FACTOR = 100.0
+
+_GUARD_OK, _GUARD_NONFINITE, _GUARD_DIVERGED = 0, 1, 2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter",
+        "solver",
+        "nn_method",
+        "with_scale",
+        "reference_compat",
+        "scene_tile",
+        "model_tile",
+        "trim_fraction",
+    ),
+)
+def _icp_while_guarded(
+    model,
+    scene,
+    threshold,
+    *,
+    max_iter: int,
+    solver: str,
+    nn_method: str,
+    with_scale: bool,
+    reference_compat: bool,
+    scene_tile: int,
+    model_tile: int,
+    trim_fraction: float = 0.0,
+    init_sim=None,
+):
+    """``_icp_while`` with an in-loop failure guard: the carry tracks the
+    best error seen and a status word; a non-finite or >100x-diverged error
+    aborts the while_loop at the NEXT condition check (fail-fast on device —
+    no host round-trip per iteration).  The reference exits the process on
+    the few errors it checks at all (SURVEY.md §5)."""
+    dt = scene.dtype
+    scene = _warm_start(scene, init_sim)
+
+    def cond(carry):
+        _, _, err, it, _, status = carry
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iter, err >= threshold),
+            status == _GUARD_OK,
+        )
+
+    def body(carry):
+        p, sim_tot, _, it, best, _ = carry
+        p_new, sim_tot2, err = _step_and_compose(
+            p,
+            model,
+            sim_tot,
+            solver=solver,
+            nn_method=nn_method,
+            with_scale=with_scale,
+            reference_compat=reference_compat,
+            scene_tile=scene_tile,
+            model_tile=model_tile,
+            trim_fraction=trim_fraction,
+        )
+        status = jnp.where(
+            ~jnp.isfinite(err),
+            jnp.int32(_GUARD_NONFINITE),
+            jnp.where(
+                err > _DIVERGE_FACTOR * best,
+                jnp.int32(_GUARD_DIVERGED),
+                jnp.int32(_GUARD_OK),
+            ),
+        )
+        return p_new, sim_tot2, err, it + 1, jnp.minimum(best, err), status
+
+    init = (
+        scene,
+        _init_transform_state(solver, nn_method, dt, init_sim),
+        jnp.asarray(jnp.inf, dt),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, dt),
+        jnp.asarray(_GUARD_OK, jnp.int32),
+    )
+    p, state, err, it, _, status = jax.lax.while_loop(cond, body, init)
+    result = ICPResult(
+        points=p,
+        transform=_finish_transform_state(state, solver, nn_method),
+        err=err,
+        iters=it,
+    )
+    return result, status
+
+
+def _raise_on_guard_status(result: ICPResult, status) -> None:
+    status = int(status)
+    if status == _GUARD_NONFINITE:
+        raise ICPGuardError(
+            f"non-finite error at iteration {int(result.iters)} "
+            f"(err={float(result.err)!r}) — input cloud or transform "
+            f"produced NaN/Inf; loop aborted on device"
+        )
+    if status == _GUARD_DIVERGED:
+        raise ICPGuardError(
+            f"error diverged (> {_DIVERGE_FACTOR:.0f}x best) at iteration "
+            f"{int(result.iters)}: err={float(result.err):.3e}"
+        )
 
 
 @functools.partial(
@@ -281,12 +421,14 @@ def _icp_scan_trace(
     scene_tile: int,
     model_tile: int,
     trim_fraction: float = 0.0,
+    init_sim=None,
 ):
     """Fixed-shape scan variant that records the per-iteration error trace.
 
     Emulates the reference's early ``break`` by freezing the state once
     converged (subsequent trace entries repeat the final error)."""
     dt = scene.dtype
+    scene = _warm_start(scene, init_sim)
 
     def body(carry, _):
         p, sim_tot, err, it, done = carry
@@ -312,7 +454,7 @@ def _icp_scan_trace(
 
     init = (
         scene,
-        _init_transform_state(solver, nn_method, dt),
+        _init_transform_state(solver, nn_method, dt, init_sim),
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
@@ -415,22 +557,61 @@ def icp(
     config: Optional[ICPConfig] = None,
     *,
     trace: bool = False,
-    guard: bool = False,
+    guard=False,
+    init: Optional[Similarity] = None,
 ):
     """Register ``scene`` onto ``model``; both (N, 3) arrays.
 
     Returns ``ICPResult`` (or ``ICPTrace`` when ``trace=True``).  The full
     loop runs as one XLA computation on the default backend.
 
+    ``init``: optional warm-start ``Similarity`` — the loop starts from the
+    transformed scene with the cumulative transform seeded to ``init`` (so
+    the returned transform still maps the CALLER's scene to the result).
+    This is what checkpoint resume, PCA initialization and multiscale
+    refinement use; the reference always starts from identity
+    (``src/cpu.hh:57-59``).
+
     ``guard=True`` adds a host-side NaN/divergence check on the result
-    (forces a device sync; the reference has no failure detection at all —
-    SURVEY.md §5).
+    (forces a device sync).  ``guard="device"`` additionally carries a
+    status word through the while_loop so a non-finite or >100x-diverged
+    error aborts the loop at the next condition check and raises
+    ``ICPGuardError`` with the failing iteration — fail-fast without a
+    per-iteration host sync (dense engines; grid/trace paths get the
+    host-side check).  The reference has no failure detection at all
+    (SURVEY.md §5).
     """
     cfg = config or ICPConfig()
     model = jnp.asarray(model, cfg.dtype)
     scene = jnp.asarray(scene, cfg.dtype)
     _validate(model, scene, cfg)
     backend = jax.default_backend()
+    if init is not None:
+        init = _cast_sim(init, cfg.dtype)
+    if cfg.resolved_nn_method(backend) == "grid":
+        from icp_tpu.engine.grid import _icp_grid
+
+        out = _icp_grid(
+            model,
+            scene,
+            jnp.asarray(cfg.threshold, cfg.dtype),
+            max_iter=cfg.max_iter,
+            solver=cfg.resolved_solver(backend),
+            with_scale=cfg.with_scale,
+            reference_compat=cfg.reference_compat,
+            trim_fraction=cfg.trim_fraction,
+            scene_tile_target=cfg.grid_scene_tile,
+            model_tile_target=cfg.grid_model_tile,
+            max_candidates=cfg.grid_max_candidates,
+            mode="trace" if trace else "while",
+            init_sim=init,
+        )
+        result = out.result if trace else out
+        if guard:
+            from icp_tpu.utils.profiling import check_finite
+
+            check_finite("icp", result.err, result.points)
+        return out
     kwargs = dict(
         max_iter=cfg.max_iter,
         solver=cfg.resolved_solver(backend),
@@ -440,11 +621,16 @@ def icp(
         scene_tile=cfg.scene_tile,
         model_tile=cfg.model_tile,
         trim_fraction=cfg.trim_fraction,
+        init_sim=init,
     )
     threshold = jnp.asarray(cfg.threshold, cfg.dtype)
     if trace:
         out = _icp_scan_trace(model, scene, threshold, **kwargs)
         result = out.result
+    elif guard == "device":
+        out, status = _icp_while_guarded(model, scene, threshold, **kwargs)
+        _raise_on_guard_status(out, status)
+        result = out
     else:
         out = _icp_while(model, scene, threshold, **kwargs)
         result = out
@@ -453,3 +639,52 @@ def icp(
 
         check_finite("icp", result.err, result.points)
     return out
+
+
+def icp_resumable(
+    model,
+    scene,
+    config: Optional[ICPConfig] = None,
+    *,
+    checkpoint_path: str,
+    checkpoint_every: int = 50,
+    resume: bool = False,
+    init: Optional[Similarity] = None,
+):
+    """ICP with periodic checkpointing and kill-safe resume (SURVEY.md §5).
+
+    Runs the jitted loop in ``checkpoint_every``-iteration chunks, saving
+    ``(transform, total_iters, err)`` after each chunk; each chunk warm-
+    starts from the cumulative transform, so a run resumed from the file
+    (``resume=True``) reproduces the uninterrupted chunked run bit-for-bit
+    (checkpoints store float64 views of the float32 state — an exact
+    round-trip).  The reference persists nothing (SURVEY.md §5).
+    """
+    from icp_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = config or ICPConfig()
+    total_iters = 0
+    cur = init
+    if resume and os.path.exists(checkpoint_path):
+        cur, total_iters, _, _ = load_checkpoint(checkpoint_path)
+    res = None
+    while total_iters < cfg.max_iter:
+        k = min(checkpoint_every, cfg.max_iter - total_iters)
+        chunk_cfg = dataclasses.replace(cfg, max_iter=k)
+        res = icp(model, scene, chunk_cfg, init=cur)
+        cur = res.transform
+        total_iters += int(res.iters)
+        save_checkpoint(
+            checkpoint_path, transform=cur, iteration=total_iters,
+            err=float(res.err),
+        )
+        if int(res.iters) < k or float(res.err) < cfg.threshold:
+            break
+    if res is None:  # resumed past max_iter: re-apply for the points
+        p = _warm_start(scene if isinstance(scene, jax.Array)
+                        else jnp.asarray(scene, cfg.dtype), cur)
+        return ICPResult(points=p, transform=_cast_sim(cur, cfg.dtype),
+                         err=jnp.asarray(jnp.nan, cfg.dtype),
+                         iters=jnp.asarray(total_iters, jnp.int32))
+    return ICPResult(points=res.points, transform=res.transform, err=res.err,
+                     iters=jnp.asarray(total_iters, jnp.int32))

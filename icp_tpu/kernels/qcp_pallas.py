@@ -239,6 +239,17 @@ def identity_state() -> jax.Array:
     return out
 
 
+def pack_total_state(sim) -> jax.Array:
+    """(1, 32) state block whose cumulative transform is ``sim`` — the
+    warm-start / resume entry point for the fused loop."""
+    dt = jnp.float32
+    out = jnp.zeros((1, 32), dt)
+    out = out.at[0, 13].set(jnp.asarray(sim.s, dt))
+    out = out.at[0, 14:23].set(jnp.asarray(sim.R, dt).reshape(-1))
+    out = out.at[0, 23:26].set(jnp.asarray(sim.t, dt))
+    return out
+
+
 def unpack_state(state: jax.Array):
     """(step Similarity, total Similarity, residual_sum) from a state block."""
     from icp_tpu.ops.alignment import Similarity

@@ -61,3 +61,35 @@ def test_profiling_trace_smoke(tmp_path):
     with trace(str(tmp_path / "prof")):
         x = jnp.ones((64, 64))
         assert float(jnp.sum(x)) == 64 * 64
+
+
+def test_run_with_metrics_structured_record(cow_pair, tmp_path):
+    import json
+
+    from icp_tpu import ICPConfig
+    from icp_tpu.utils.metrics import run_with_metrics
+
+    ref, tr1 = cow_pair
+    tr, rec = run_with_metrics(
+        ref, tr1, ICPConfig(max_iter=30, solver="eigh", nn_method="bcast")
+    )
+    assert rec.iters == int(tr.result.iters)
+    assert len(rec.errs) == rec.iters and rec.errs[-1] < 1e-5
+    assert rec.errs[0] > rec.errs[-1]
+    d = json.loads(rec.to_json())
+    assert d["solver"] == "eigh" and d["wall_s"] > 0
+
+
+def test_cli_metrics_flag(cow_pair, tmp_path, monkeypatch):
+    import json
+
+    from icp_tpu.engine.cli import main
+    from tests.conftest import data_path
+
+    monkeypatch.chdir(tmp_path)
+    mpath = str(tmp_path / "metrics.json")
+    rc = main([data_path("cow_ref.txt"), data_path("cow_tr1.txt"), "30",
+               "--metrics", mpath, "--solver", "eigh", "--nn", "bcast"])
+    assert rc == 0
+    rec = json.loads(open(mpath).read())
+    assert rec["err"] < 1e-5 and len(rec["errs"]) == rec["iters"]
