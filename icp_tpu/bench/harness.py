@@ -146,15 +146,42 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         sim = identity_similarity(jnp.float32)
         return apply_and_error(p + c * _EPS, m, sim)[1]
 
+    def err_compute_alignment(m, p, c):
+        # the reference's NON-mutating residual variant (src/cpu.cc:93-103,
+        # registered as its own benchmark at src/bench.cc:427-431): same
+        # residual math, transformed cloud discarded.  Fused here by XLA —
+        # the row exists for matrix parity with the reference's 14 entries.
+        sim = identity_similarity(jnp.float32)
+        return apply_and_error(p + c * _EPS, m, sim)[1], m
+
     ops = {
         "closest_bcast": nn_bcast,
         "closest_matmul": nn_matmul,
         "find_alignment": find_alignment,
         "compute_centroid": centroid,
         "err_compute": err_compute,
+        "err_compute_alignment": err_compute_alignment,
     }
     if on_tpu:
         ops["closest_pallas"] = nn_pallas
+        from icp_tpu.engine.grid import _prepare_scene
+        from icp_tpu.kernels.nn_grid import (
+            build_model_grid,
+            closest_point_indices_grid,
+        )
+
+        # steady-state grid NN: kd-sorted (padded) scene, previous-iteration
+        # bounds (what every post-first ICP iteration sees)
+        grid = build_model_grid(ref)
+        p_kd, _, _, tn = _prepare_scene(ref, 256)  # converged: scene == ref
+        prev = closest_point_indices_pallas(p_kd, ref)
+
+        def nn_grid(m, p, c):
+            return closest_point_indices_grid(
+                p_kd + c * _EPS, grid, prev, scene_tile=tn
+            )
+
+        ops["closest_grid"] = nn_grid
 
     results = []
     for name, fn in ops.items():
@@ -199,6 +226,39 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
             f"full loop: {per_iter*1e6:.1f} us/iter "
             f"({1/per_iter:.0f} iter/s device-side; "
             f"20-iter wall {t_small*1e3:.1f} ms)"
+        )
+
+    if (not include or "full_loop_grid" in include) and on_tpu:
+        from icp_tpu.engine.grid import _icp_grid
+
+        thr = jnp.asarray(0.0, jnp.float32)
+
+        def timed_grid(k):
+            def run():
+                res = _icp_grid(
+                    ref, tr1, thr, max_iter=10**6, solver=solver,
+                    with_scale=True, reference_compat=True,
+                    mode="fixed", n_iters=k,
+                )
+                float(res.err)
+
+            return wall_time(run)
+
+        _progress("full loop (grid NN) ...")
+        t_small = timed_grid(n_iters)
+        t_big = timed_grid(n_iters + 500)
+        per_iter = (t_big - t_small) / 500
+        results.append(
+            dict(
+                benchmark="full_loop_grid_per_iter",
+                time_us=per_iter * 1e6,
+                rate_per_s=1.0 / per_iter,
+                wall_20_iters_ms=t_small * 1e3,
+            )
+        )
+        _progress(
+            f"full loop (grid): {per_iter*1e6:.1f} us/iter "
+            f"({1/per_iter:.0f} iter/s device-side)"
         )
     return results
 

@@ -40,7 +40,9 @@ class ICPConfig:
         ``"kabsch"`` (3x3 SVD), or ``"auto"``.
       nn_method: correspondence search implementation: ``"bcast"`` (fused XLA
         broadcast), ``"matmul"`` (||a||^2+||b||^2-2ab), ``"pallas"`` (tiled
-        fused MXU kernel), or ``"auto"`` (pallas on TPU, bcast elsewhere).
+        fused MXU kernel), ``"grid"`` (kd-tiled spatially-pruned kernel —
+        exact, fastest for large clouds; ``kernels/nn_grid.py``), or
+        ``"auto"`` (pallas on TPU, bcast elsewhere).
       scene_tile / model_tile: Pallas NN kernel tile sizes (scene points x
         model points per grid step).  Replaces the reference's empirically
         found ``BATCH_SIZE=1280`` scene batching (``src/GPU/compute.cu:7-9``).
@@ -55,6 +57,13 @@ class ICPConfig:
         solve.  0.0 (default) reproduces the reference exactly; ~0.1-0.4 is
         typical for partially overlapping real scans.  Reported error becomes
         the mean over KEPT correspondences.
+      grid_scene_tile / grid_model_tile: target kd tile sizes for the
+        ``"grid"`` NN path (points per scene/model tile; rounded to hardware
+        multiples).
+      grid_max_candidates: candidate-model-tile capacity per scene tile for
+        the grid path;
+        iterations whose candidate count exceeds it fall back to the dense
+        kernel (exactness is never affected).
     """
 
     max_iter: int = 200
@@ -68,6 +77,9 @@ class ICPConfig:
     validate_inputs: bool = True
     with_scale: bool = True
     trim_fraction: float = 0.0
+    grid_scene_tile: int = 256
+    grid_model_tile: int = 1024
+    grid_max_candidates: int = 16
 
     def resolved_solver(self, backend: str) -> str:
         if self.solver != "auto":

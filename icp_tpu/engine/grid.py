@@ -1,0 +1,247 @@
+"""ICP driver over the spatially-pruned NN path (``kernels/nn_grid.py``).
+
+Same outer loop as ``engine/icp.py`` (one jitted ``lax.while_loop``; reference
+``src/cpu.cc:55-79``) with three at-scale changes:
+
+  * the scene is kd-sorted ONCE before the loop (similarity transforms
+    preserve neighborhoods, so scene tiles stay spatially compact for the
+    whole run) and un-permuted at the end;
+  * the loop carry additionally holds the previous iteration's correspondence
+    indices — each point's distance to its previous match upper-bounds its
+    current NN distance, which is what lets the work-list kernel cull model
+    tiles (exact, with dense fallback on overflow);
+  * the cloud is padded to the kd tile multiple by replicating the last
+    point; padded rows ride along with weight 0 (masked out of the alignment
+    stats, the error, and the trim quantile).
+
+The alignment solve, fused scalar-core kernel, trim, and QUIRK-1 error
+metric are shared with the dense engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from icp_tpu.engine.icp import ICPResult, ICPTrace
+from icp_tpu.kernels.nn_grid import (
+    ModelGrid,
+    _round_up,
+    build_model_grid,
+    closest_point_indices_grid,
+    initial_bound_indices,
+    kd_order,
+    levels_for,
+)
+from icp_tpu.ops.alignment import alignment_from_stats, compute_alignment_stats
+from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
+
+_BIG = 3.0e38
+
+
+def _prepare_scene(scene: jax.Array, target_tile: int):
+    """kd-sort + pad the scene; returns (p_sorted, weights, inv_slots, tn).
+
+    ``inv_slots[r]`` is the sorted-array slot holding original row r, so
+    ``points_sorted[inv_slots]`` restores the caller's order.
+    """
+    n = scene.shape[0]
+    lvl = levels_for(n, target_tile)
+    tn = _round_up(-(-n // (2**lvl)), 8)
+    n_pad = tn * (2**lvl)
+    pad = jnp.broadcast_to(scene[-1], (n_pad - n, 3))
+    s_pad = jnp.concatenate([scene, pad.astype(scene.dtype)], axis=0)
+    perm = kd_order(s_pad, lvl)
+    p_sorted = s_pad[perm]
+    w = (perm < n).astype(scene.dtype)
+    inv_slots = jnp.argsort(perm)[:n]
+    return p_sorted, w, inv_slots, tn
+
+
+def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
+                  reference_compat: bool, trim_fraction: float, tn: int,
+                  max_candidates: int, interp: bool, n_real: int,
+                  n_pad: int):
+    """One grid-pruned ICP iteration: (p, state, idx_prev) ->
+    (p_new, state', err, idx)."""
+    fused = solver == "qcp_fused"
+
+    def step(p, state, idx_prev):
+        idx = closest_point_indices_grid(
+            p, grid, idx_prev, scene_tile=tn,
+            max_candidates=max_candidates, interpret=interp,
+        )
+        y = jnp.take(grid.model_orig, idx, axis=0).astype(p.dtype)
+        if trim_fraction > 0.0:
+            d2 = jnp.sum((y - p) ** 2, axis=1)
+            # quantile over REAL rows: padded rows sit at the sentinel and
+            # occupy the top ranks, so rescale q onto the real prefix.
+            q = (1.0 - trim_fraction) * (n_real - 1) / max(n_pad - 1, 1)
+            tau = jnp.quantile(jnp.where(w > 0, d2, _BIG), q)
+            w_eff = w * (d2 <= tau).astype(w.dtype)
+        else:
+            w_eff = w
+        stats = compute_alignment_stats(p, y, weights=w_eff)
+        if fused:
+            from icp_tpu.kernels.qcp_pallas import (
+                alignment_step_state_pallas,
+                pack_stats,
+                unpack_state,
+            )
+
+            new_state = alignment_step_state_pallas(
+                pack_stats(stats), state, with_scale=with_scale,
+                interpret=interp,
+            )
+            sim, _, err_sum = unpack_state(new_state)
+            p_new = apply_similarity(p, sim)
+        else:
+            sim = alignment_from_stats(stats, solver=solver,
+                                       with_scale=with_scale)
+            new_state = compose(state, sim)
+            p_new = apply_similarity(p, sim)
+            d = y - p_new
+            err_sum = jnp.sum(w_eff * jnp.sum(d * d, axis=1))
+        n_eff = stats.n.astype(err_sum.dtype)
+        err = (2.0 * err_sum / n_eff) if reference_compat else (err_sum / n_eff)
+        return p_new, new_state, err, idx
+
+    return step
+
+
+def _init_state(solver: str, dt, init_sim=None):
+    if solver == "qcp_fused":
+        from icp_tpu.kernels.qcp_pallas import identity_state, pack_total_state
+
+        return identity_state() if init_sim is None else pack_total_state(init_sim)
+    if init_sim is None:
+        return identity_similarity(dt)
+    from icp_tpu.ops.alignment import Similarity
+
+    return Similarity(s=jnp.asarray(init_sim.s, dt),
+                      R=jnp.asarray(init_sim.R, dt),
+                      t=jnp.asarray(init_sim.t, dt))
+
+
+def _finish_state(state, solver: str):
+    if solver == "qcp_fused":
+        from icp_tpu.kernels.qcp_pallas import unpack_state
+
+        return unpack_state(state)[1]
+    return state
+
+
+_STATICS = (
+    "max_iter",
+    "solver",
+    "with_scale",
+    "reference_compat",
+    "trim_fraction",
+    "scene_tile_target",
+    "model_tile_target",
+    "max_candidates",
+    "bound_stride",
+    "mode",
+)
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS)
+def _icp_grid(
+    model,
+    scene,
+    threshold,
+    *,
+    max_iter: int,
+    solver: str,
+    with_scale: bool,
+    reference_compat: bool,
+    trim_fraction: float = 0.0,
+    scene_tile_target: int = 256,
+    model_tile_target: int = 1024,
+    max_candidates: int = 16,
+    bound_stride: int = 16,
+    mode: str = "while",  # "while" | "trace" | "fixed"
+    n_iters=None,  # dynamic iteration count for mode="fixed"
+    init_sim=None,  # optional warm-start Similarity (resume / PCA init)
+):
+    dt = scene.dtype
+    interp = jax.default_backend() != "tpu"
+    n = scene.shape[0]
+    if init_sim is not None:
+        scene = apply_similarity(scene, init_sim)
+
+    # One-time (hoisted out of the loop by XLA): model kd index, scene kd
+    # sort, first-iteration bounds from a model subsample.
+    grid = build_model_grid(model, target_tile=model_tile_target)
+    p0, w, inv_slots, tn = _prepare_scene(scene, scene_tile_target)
+    n_pad = p0.shape[0]
+    stride = max(1, min(bound_stride, model.shape[0] // 4))
+    idx0 = initial_bound_indices(p0, grid.model_orig, stride=stride,
+                                 interpret=interp)
+
+    step = _grid_step_fn(
+        grid, w, solver=solver, with_scale=with_scale,
+        reference_compat=reference_compat, trim_fraction=trim_fraction,
+        tn=tn, max_candidates=max_candidates, interp=interp,
+        n_real=n, n_pad=n_pad,
+    )
+
+    state0 = _init_state(solver, dt, init_sim)
+    err0 = jnp.asarray(jnp.inf, dt)
+    it0 = jnp.asarray(0, jnp.int32)
+
+    if mode == "while":
+        def cond(carry):
+            _, _, err, it, _ = carry
+            return jnp.logical_and(it < max_iter, err >= threshold)
+
+        def body(carry):
+            p, state, _, it, idx = carry
+            p_new, state2, err, idx2 = step(p, state, idx)
+            return p_new, state2, err, it + 1, idx2
+
+        p, state, err, it, _ = jax.lax.while_loop(
+            cond, body, (p0, state0, err0, it0, idx0)
+        )
+        errs = None
+    elif mode == "trace":
+        def body(carry, _):
+            p, state, err, it, idx, done = carry
+            p_new, state2, err_new, idx2 = step(p, state, idx)
+            keep = lambda new, old: jnp.where(done, old, new)
+            p = keep(p_new, p)
+            state = jax.tree.map(keep, state2, state)
+            err = keep(err_new, err)
+            idx = keep(idx2, idx)
+            it = jnp.where(done, it, it + 1)
+            done = jnp.logical_or(done, err < threshold)
+            return (p, state, err, it, idx, done), err
+
+        (p, state, err, it, _, _), errs = jax.lax.scan(
+            body, (p0, state0, err0, it0, idx0, jnp.asarray(False)),
+            None, length=max_iter,
+        )
+    else:  # fixed
+        def fbody(_, carry):
+            p, state, err, idx = carry
+            p_new, state2, err2, idx2 = step(p, state, idx)
+            return p_new, state2, err2, idx2
+
+        nit = jnp.asarray(n_iters, jnp.int32)
+        p, state, err, _ = jax.lax.fori_loop(
+            0, nit, fbody, (p0, state0, err0, idx0)
+        )
+        it = nit
+        errs = None
+
+    result = ICPResult(
+        points=p[inv_slots],
+        transform=_finish_state(state, solver),
+        err=err,
+        iters=it,
+    )
+    if mode == "trace":
+        return ICPTrace(result=result, errs=errs)
+    return result

@@ -1,0 +1,367 @@
+"""Spatially-pruned nearest-neighbor search — exact, TPU-native, at-scale.
+
+The brute-force kernels (``nn_pallas.py``) sit at the VPU roofline: every
+(scene, model) pair is touched, so horse (48k^2) costs ~6.8 ms/iteration and
+1M x 65k costs ~219 ms (docs/PERF.md).  The reference has no answer either —
+its hot loop is the same O(np*nm) sweep (``src/cpu.cc:5-27``,
+``src/GPU/compute.cu:94-245``).  This module prunes the sweep with a spatial
+structure designed for the TPU pipeline rather than a pointer-chasing k-d
+tree (which cannot map onto XLA/Mosaic):
+
+  1. **Static balanced-kd ordering.**  Points are permuted by L rounds of
+     widest-axis median splits (one batched segmented argsort per round —
+     every shape static), yielding 2^L equal-count, spatially-compact,
+     non-overlapping tiles; each tile's bbox is precomputed.  Measured on
+     horse: a scene tile overlaps ~3 of 32 model-tile bboxes when aligned
+     (~10 when grossly unaligned) vs ~11/~26 for Morton-order tiles.  The
+     engine kd-sorts the scene ONCE — a similarity transform preserves
+     neighborhoods, so scene tiles stay compact for the whole ICP run.
+  2. **Upper bounds from the previous iteration.**  ICP's correspondence
+     changes slowly: the distance from p_i to its PREVIOUS matched model
+     point is a valid upper bound u_i on this iteration's NN distance.
+     (First iteration: bound against a model subsample — also valid, since
+     the subsample is a subset of the model.)
+  3. **Tile culling.**  Model tile j can contain the NN of some point in
+     scene tile i only if bboxdist(box_i, box_j)^2 <= U_i = max_{p in i} u_p.
+     The (scene-tile x model-tile) mask is tiny (e.g. 2048 x 64 at 1M x 65k);
+     each row's passing tile ids are compacted into a (Ni, C) candidate
+     table (one per-row sort) plus per-row counts.
+  4. **Gathered-candidates Pallas kernel.**  XLA gathers each scene tile's
+     candidate model tiles (original indices riding in an f32 lane) into one
+     dense (Ni, C*tm, 8) buffer — a tile-granular ``take``, bandwidth-cheap
+     — and a (Ni,) grid gives each scene tile ONE kernel step that folds its
+     candidates with an in-kernel ``fori_loop(0, count)``: compute runs for
+     exactly the real candidates, and the ~us-scale per-grid-step overhead
+     is paid Ni times, not Ni*C times (the two-level (Ni, C) grid variant
+     spent ~90% of its time on gated-off steps at horse scale).  All
+     BlockSpec index maps are static functions of the grid index (the same
+     proven pattern as the dense kernel).
+
+Exactness: the candidate set provably contains every tile that can hold a
+true NN (u is an upper bound; bbox distance is a lower bound; both get an
+epsilon margin against f32 rounding), ties resolve to the lowest ORIGINAL
+model index (the kd tile's original indices ride along as a lane vector),
+and if any scene tile's candidate count exceeds the static capacity C the
+caller falls back to the dense kernel for that iteration via ``lax.cond`` —
+the result matches brute force (``tests/oracle.py`` contract) in every case.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_COORD_LANES = 8
+_BIG = 3.0e38
+# f32 safety margins: u must stay an upper bound and bboxdist a lower bound
+# through f32 rounding, or a winning tile could be culled by one ulp.
+_UPPER_INFLATE = 1.0 + 1e-5
+_LOWER_DEFLATE = 1.0 - 1e-5
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def kd_order(points: jax.Array, levels: int,
+             real: jax.Array | None = None) -> jax.Array:
+    """Permutation grouping ``points`` (n, 3) into 2^levels equal segments by
+    recursive widest-axis median split.  n must be a multiple of 2^levels.
+
+    ``real``: optional (n,) bool — False rows are padding; they sort to the
+    tail of their segment (and are excluded from the axis-extent choice), so
+    padding accumulates in the trailing tiles and real tiles stay compact.
+    All shapes static: L batched per-segment argsorts, nothing else.
+    """
+    n = points.shape[0]
+    assert n % (2**levels) == 0, (n, levels)
+    pts = points.astype(jnp.float32)
+    perm = jnp.arange(n, dtype=jnp.int32)
+    msk = jnp.ones((n,), bool) if real is None else real
+    for lvl in range(levels):
+        s = 2**lvl
+        seg = n // s
+        p3 = pts.reshape(s, seg, 3)
+        m3 = msk.reshape(s, seg)
+        ext = jnp.max(jnp.where(m3[..., None], p3, -_BIG), axis=1) - jnp.min(
+            jnp.where(m3[..., None], p3, _BIG), axis=1
+        )  # (s, 3); all-pad segments give negative extents — harmless
+        ax = jnp.argmax(ext, axis=1)  # (s,)
+        keys = jnp.take_along_axis(p3, ax[:, None, None], axis=2)[..., 0]
+        keys = jnp.where(m3, keys, _BIG)  # padding sorts last
+        order = jnp.argsort(keys, axis=1)  # (s, seg)
+        pts = jnp.take_along_axis(p3, order[..., None], axis=1).reshape(n, 3)
+        msk = jnp.take_along_axis(m3, order, axis=1).reshape(n)
+        perm = jnp.take_along_axis(perm.reshape(s, seg), order, axis=1).reshape(n)
+    return perm
+
+
+def levels_for(n: int, target_tile: int) -> int:
+    """Split depth giving ~target_tile points per kd tile."""
+    if n <= target_tile:
+        return 0
+    return max(0, round(math.log2(n / target_tile)))
+
+
+class ModelGrid(NamedTuple):
+    """kd-sorted model + per-tile bboxes (built once per ICP run)."""
+
+    tiles: jax.Array  # (Nj * tm, 8): lanes 0-2 coords (padding at 1e17),
+    #                   lane 3 = ORIGINAL index as f32 (exact below 2^24)
+    tile_lo: jax.Array  # (Nj, 3) per-tile bbox minima (real rows only)
+    tile_hi: jax.Array  # (Nj, 3)
+    model_orig: jax.Array  # (M, 3) f32 original-order model (u-bound gathers)
+    model_tile: int
+
+
+def build_model_grid(model: jax.Array, *, target_tile: int = 1024) -> ModelGrid:
+    """kd-sort the model and precompute per-tile bboxes."""
+    m = model.shape[0]
+    if m >= 2**24:
+        raise ValueError(
+            f"grid NN encodes original indices in f32 lanes (exact below "
+            f"2**24); model has {m} points — shard it first"
+        )
+    dt = jnp.float32
+    model = model.astype(dt)
+    lvl = levels_for(m, target_tile)
+    n_tiles = 2**lvl
+    tm = _round_up(-(-m // n_tiles), 128)
+    m_pad = tm * n_tiles
+
+    pts_p = jnp.full((m_pad, 3), 1.0e17, dt).at[:m].set(model)
+    real0 = jnp.arange(m_pad) < m
+    perm = kd_order(pts_p, lvl, real=real0)
+    sorted_pts = pts_p[perm]
+    real = perm < m
+
+    buf = jnp.zeros((m_pad, _COORD_LANES), dt).at[:, :3].set(sorted_pts)
+    buf = buf.at[:, 3].set(jnp.where(real, perm.astype(dt), _BIG))
+
+    tiled = sorted_pts.reshape(n_tiles, tm, 3)
+    r3 = real.reshape(n_tiles, tm)[:, :, None]
+    tile_lo = jnp.min(jnp.where(r3, tiled, _BIG), axis=1)
+    tile_hi = jnp.max(jnp.where(r3, tiled, -_BIG), axis=1)
+    return ModelGrid(
+        tiles=buf,
+        tile_lo=tile_lo,
+        tile_hi=tile_hi,
+        model_orig=model,
+        model_tile=tm,
+    )
+
+
+def initial_bound_indices(scene: jax.Array, model: jax.Array, *,
+                          stride: int = 16, interpret: bool | None = None):
+    """First-iteration upper-bound indices: exact NN against every
+    ``stride``-th model point (a subset, so its distance bounds the true NN).
+    Returns ORIGINAL model indices."""
+    from icp_tpu.kernels.nn_pallas import closest_point_indices_pallas
+
+    sub = model[::stride]
+    sub_idx = closest_point_indices_pallas(
+        scene, sub, scene_tile=512, model_tile=4096, interpret=interpret
+    )
+    return sub_idx * stride
+
+
+def _candidates(p_pad, u_pad, grid: ModelGrid, *, scene_tile: int, cap: int):
+    """Per-scene-tile candidate model tiles: (Ni, C) ids (ascending j,
+    sentinel 0 past the count), (Ni,) counts, overflow flag."""
+    tn = scene_tile
+    n_pad = p_pad.shape[0]
+    ni = n_pad // tn
+    nj = grid.tile_lo.shape[0]
+
+    tiles = p_pad[:, :3].reshape(ni, tn, 3)
+    s_lo = jnp.min(tiles, axis=1)  # (Ni, 3)
+    s_hi = jnp.max(tiles, axis=1)
+    u_tile = jnp.max(u_pad.reshape(ni, tn), axis=1) * _UPPER_INFLATE  # (Ni,)
+
+    # box-box squared distance, (Ni, Nj)
+    gap = jnp.maximum(
+        grid.tile_lo[None, :, :] - s_hi[:, None, :],
+        s_lo[:, None, :] - grid.tile_hi[None, :, :],
+    )
+    gap = jnp.maximum(gap, 0.0)
+    bd2 = jnp.sum(gap * gap, axis=-1) * _LOWER_DEFLATE
+
+    mask = bd2 <= u_tile[:, None]
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)  # (Ni,)
+    overflow = jnp.any(counts > cap)
+
+    # compact each row: passing j's ascending, sentinel big past the count
+    col = jnp.broadcast_to(jnp.arange(nj, dtype=jnp.int32)[None, :], mask.shape)
+    keys = jnp.where(mask, col, jnp.int32(nj))
+    keys = jax.lax.sort(keys, dimension=1)[:, :cap]  # (Ni, C)
+    cand = jnp.where(keys < nj, keys, 0)  # sentinel -> tile 0 (gated off)
+    return cand, counts, overflow
+
+
+def _pruned_kernel(tm: int, p_ref, mt_ref, cnt_ref, dist_ref, idx_ref):
+    """One grid step = ONE scene tile: fold its (dynamic) candidate count of
+    model tiles with an in-kernel ``fori_loop`` over the gathered block.
+
+    Design note: an earlier variant used a two-level (Ni, C) grid with
+    ``pl.when``-gated folds; at horse scale (256 x 16 = 4096 steps) the
+    ~1.3 us/step grid overhead dominated (~5.3 of 5.8 ms/iter).  One step
+    per scene tile pays the overhead Ni times and runs compute for exactly
+    ``count`` candidates — nothing for the gated-off slots.
+    """
+    i = pl.program_id(0)
+    tn = p_ref.shape[0]
+    cnt = cnt_ref[i, 0]
+
+    def fold(c, carry):
+        best_d, best_i = carry
+        rows = mt_ref[pl.dslice(c * tm, tm), :]  # (tm, 8), c*tm sublane-aligned
+        # Exact-f32 VPU broadcast distances (see nn_pallas._nn_kernel).
+        d = jnp.zeros((tn, tm), jnp.float32)
+        for k in range(3):
+            diff = p_ref[:, k][:, None] - rows[:, k][None, :]
+            d = d + diff * diff
+        local_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
+        # lowest ORIGINAL index among within-tile ties (kd order != index
+        # order; lane 3 carries the original index as exact-integer f32)
+        oidx = jnp.broadcast_to(rows[:, 3][None, :], d.shape)
+        cand = jnp.where(d == local_min, oidx, jnp.float32(_BIG))
+        win = jnp.min(cand, axis=1, keepdims=True)  # (TN, 1)
+        better = jnp.logical_or(
+            local_min < best_d,
+            jnp.logical_and(local_min == best_d, win < best_i),
+        )
+        return (
+            jnp.where(better, local_min, best_d),
+            jnp.where(better, win, best_i),
+        )
+
+    init = (
+        jnp.full((tn, 1), jnp.float32(_BIG)),
+        jnp.full((tn, 1), jnp.float32(_BIG)),
+    )
+    best_d, best_i = jax.lax.fori_loop(0, cnt, fold, init)
+    dist_ref[:] = best_d
+    idx_ref[:] = best_i
+
+
+# NOTE: not jax.jit-wrapped (same nested-jit lowering-cache hazard as
+# nn_pallas); callers jit the enclosing program.
+def closest_point_indices_pruned(
+    scene: jax.Array,
+    grid: ModelGrid,
+    prev_idx: jax.Array,
+    *,
+    scene_tile: int = 256,
+    max_candidates: int = 16,
+    interpret: bool | None = None,
+):
+    """Exact NN via tile culling; returns (original indices, overflow flag).
+
+    ``prev_idx``: (N,) ORIGINAL model indices whose distances upper-bound the
+    true NN distances (previous iteration's correspondence, or
+    ``initial_bound_indices``).  On overflow the caller must recompute with
+    the dense kernel (``lax.cond``); the returned indices are only exact when
+    ``overflow`` is False.  ``scene`` should be spatially coherent (engine:
+    kd-sorted once) for pruning to bite; correctness never depends on it.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = scene.shape[0]
+    dt = jnp.float32
+    scene = scene.astype(dt)
+
+    tn = min(scene_tile, _round_up(n, 8))
+    n_pad = _round_up(n, tn)
+    ni = n_pad // tn
+    tm = grid.model_tile
+    nj = grid.tile_lo.shape[0]
+    cap = min(max_candidates, nj)
+
+    # Pad by replicating the last point: keeps tile bboxes tight and gives
+    # padding rows a real (discarded) NN problem.  Zero-width updates are
+    # skipped, not folded.
+    p_pad = jnp.zeros((n_pad, _COORD_LANES), dt)
+    p_pad = p_pad.at[:n, :3].set(scene)
+    u = jnp.sum((scene - grid.model_orig[prev_idx]) ** 2, axis=1)
+    if n_pad > n:
+        p_pad = p_pad.at[n:, :3].set(scene[-1])
+        u_pad = jnp.concatenate([u, jnp.broadcast_to(u[-1], (n_pad - n,))])
+    else:
+        u_pad = u
+
+    cand, counts, overflow = _candidates(
+        p_pad, u_pad, grid, scene_tile=tn, cap=cap
+    )
+    # the kernel folds exactly counts[i] gathered slots; on overflow the
+    # extra candidates were truncated, so clamp (result replaced by the
+    # dense fallback anyway)
+    counts_k = jnp.minimum(counts, cap)[:, None]  # (Ni, 1) SMEM operand
+
+    # XLA-side tile-granular gather of each scene tile's candidates, laid
+    # out (Ni, C*tm, 8) so one grid step sees ALL of tile i's candidates.
+    model_tiles = grid.tiles.reshape(nj, tm, _COORD_LANES)
+    gathered = model_tiles[cand.reshape(-1)].reshape(
+        ni, cap * tm, _COORD_LANES
+    )
+
+    dist, idx_f = pl.pallas_call(
+        functools.partial(_pruned_kernel, tm),
+        grid=(ni,),
+        in_specs=[
+            pl.BlockSpec((None, tn, _COORD_LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, cap * tm, _COORD_LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # whole counts vector in SMEM (per-step unit blocks violate
+            # Mosaic's block-divisibility rule); kernel indexes program_id(0)
+            pl.BlockSpec((ni, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), dt),
+            jax.ShapeDtypeStruct((n_pad, 1), dt),
+        ],
+        interpret=interpret,
+    )(p_pad.reshape(ni, tn, _COORD_LANES), gathered, counts_k)
+    return idx_f[:n, 0].astype(jnp.int32), overflow
+
+
+def closest_point_indices_grid(
+    scene: jax.Array,
+    grid: ModelGrid,
+    prev_idx: jax.Array,
+    *,
+    scene_tile: int = 256,
+    max_candidates: int = 16,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Exact NN with automatic dense fallback on candidate-table overflow.
+
+    Always returns indices identical to brute force (``tests/oracle.py``
+    contract: squared distance, lowest-original-index ties).
+    """
+    from icp_tpu.kernels.nn_pallas import closest_point_indices_pallas
+
+    idx, overflow = closest_point_indices_pruned(
+        scene, grid, prev_idx,
+        scene_tile=scene_tile, max_candidates=max_candidates,
+        interpret=interpret,
+    )
+
+    def dense(_):
+        return closest_point_indices_pallas(
+            scene, grid.model_orig, scene_tile=256, model_tile=4096,
+            interpret=interpret,
+        )
+
+    return jax.lax.cond(overflow, dense, lambda i: i, idx)
