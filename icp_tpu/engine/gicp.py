@@ -60,20 +60,15 @@ def _inv3_batched(M: jax.Array) -> jax.Array:
     return adj * inv_det[:, None, None]
 
 
-def _gicp_step(p, cov_p, model, cov_m, *, nn_method, scene_tile, model_tile,
-               damping=1e-9):
-    """One GICP Gauss-Newton iteration.  ``cov_p`` must already be expressed
-    in the CURRENT scene frame (rotated alongside p by the caller)."""
-    idx = closest_point_indices(
-        p, model, method=nn_method, scene_tile=scene_tile, model_tile=model_tile
-    )
-    y = jnp.take(model, idx, axis=0)
-    Cy = jnp.take(cov_m, idx, axis=0)
+def _gicp_system(p, y, Cy, cov_p, *, weights=None, damping=1e-9, axis=None):
+    """Shared GICP Gauss-Newton core: residuals + 6x6 normal equations.
 
+    ``weights``: optional (N,) 0/1 trim mask.  ``axis``: psum the (6,6)/(6,)
+    sums over a mesh axis (sharded path).  Returns (sim, p_new, err, M)."""
+    dt = p.dtype
     M = _inv3_batched(Cy + cov_p)  # (N, 3, 3)
-    d = y - p  # (N, 3) residuals (we solve for a small correction T ~ I)
+    d = y - p
 
-    # J_i = [ [p]_x | -I ]  for residual d(x) = y - (R p + t), x = [omega, t]
     zeros = jnp.zeros_like(p[:, 0])
     px = jnp.stack(
         [
@@ -82,28 +77,59 @@ def _gicp_step(p, cov_p, model, cov_m, *, nn_method, scene_tile, model_tile,
             jnp.stack([-p[:, 1], p[:, 0], zeros], axis=-1),
         ],
         axis=-2,
-    )  # (N, 3, 3) = [p]_x ; d(R p)/d omega = -[p]_x omega => J_omega = [p]_x
-    J = jnp.concatenate([px, -jnp.broadcast_to(jnp.eye(3, dtype=p.dtype),
-                                               px.shape)], axis=-1)  # (N,3,6)
-
+    )  # (N, 3, 3) = [p]_x
+    J = jnp.concatenate(
+        [px, -jnp.broadcast_to(jnp.eye(3, dtype=dt), px.shape)], axis=-1
+    )  # (N, 3, 6)
     HI = jax.lax.Precision.HIGHEST
-    MJ = jnp.einsum("nij,njk->nik", M, J, precision=HI)  # (N, 3, 6)
-    A = jnp.einsum("nji,njk->ik", J, MJ, precision=HI)  # (6, 6)
-    b = jnp.einsum("nji,njk,nk->i", J, M, d, precision=HI)  # (6,)
-    x = -jnp.linalg.solve(A + damping * jnp.eye(6, dtype=p.dtype), b)
+    Mw = M if weights is None else M * weights[:, None, None]
+    MJ = jnp.einsum("nij,njk->nik", Mw, J, precision=HI)
+    A = jnp.einsum("nji,njk->ik", J, MJ, precision=HI)
+    b = jnp.einsum("nji,njk,nk->i", J, Mw, d, precision=HI)
+    if axis is not None:
+        A = jax.lax.psum(A, axis)
+        b = jax.lax.psum(b, axis)
+    x = -jnp.linalg.solve(A + damping * jnp.eye(6, dtype=dt), b)
 
-    R = _rodrigues(x[:3])
-    t = x[3:]
-    sim = Similarity(s=jnp.asarray(1.0, p.dtype), R=R, t=t)
+    sim = Similarity(s=jnp.asarray(1.0, dt), R=_rodrigues(x[:3]), t=x[3:])
     p_new = apply_similarity(p, sim)
     dn = y - p_new
-    err = jnp.mean(jnp.einsum("ni,nij,nj->n", dn, M, dn, precision=HI))
+    e = jnp.einsum("ni,nij,nj->n", dn, Mw, dn, precision=HI)
+    if axis is not None:
+        nw = jax.lax.psum(
+            jnp.sum(weights) if weights is not None
+            else jnp.asarray(p.shape[0], dt), axis
+        )
+        err = jax.lax.psum(jnp.sum(e), axis) / nw
+    else:
+        nw = jnp.sum(weights) if weights is not None else jnp.asarray(p.shape[0], dt)
+        err = jnp.sum(e) / nw
+    return sim, p_new, err
+
+
+def _gicp_step(p, cov_p, model, cov_m, *, nn_method, scene_tile, model_tile,
+               trim_fraction=0.0, damping=1e-9):
+    """One GICP Gauss-Newton iteration.  ``cov_p`` must already be expressed
+    in the CURRENT scene frame (rotated alongside p by the caller)."""
+    idx = closest_point_indices(
+        p, model, method=nn_method, scene_tile=scene_tile, model_tile=model_tile
+    )
+    y = jnp.take(model, idx, axis=0)
+    Cy = jnp.take(cov_m, idx, axis=0)
+    if trim_fraction > 0.0:
+        d2 = jnp.sum((y - p) ** 2, axis=1)
+        tau = jnp.quantile(d2, 1.0 - trim_fraction)
+        w = (d2 <= tau).astype(p.dtype)
+    else:
+        w = None
+    sim, p_new, err = _gicp_system(p, y, Cy, cov_p, weights=w, damping=damping)
     return p_new, sim, err
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "nn_method", "scene_tile", "model_tile"),
+    static_argnames=("max_iter", "nn_method", "scene_tile", "model_tile",
+                     "trim_fraction"),
 )
 def _gicp_while(
     model,
@@ -116,8 +142,17 @@ def _gicp_while(
     nn_method: str,
     scene_tile: int,
     model_tile: int,
+    trim_fraction: float = 0.0,
+    init_sim=None,
 ):
     dt = scene.dtype
+    if init_sim is not None:
+        scene = apply_similarity(scene, init_sim)
+        # rotate the scene covariances into the warm-start frame
+        cov_s = jnp.einsum(
+            "ij,njk,lk->nil", init_sim.R, cov_s, init_sim.R,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def cond(carry):
         _, _, _, err, it = carry
@@ -128,6 +163,7 @@ def _gicp_while(
         p_new, sim, err = _gicp_step(
             p, cov_p, model, cov_m, nn_method=nn_method,
             scene_tile=scene_tile, model_tile=model_tile,
+            trim_fraction=trim_fraction,
         )
         # rotate the scene covariances with the step: C <- R C R^T
         cov_p = jnp.einsum(
@@ -139,7 +175,7 @@ def _gicp_while(
     init = (
         scene,
         cov_s,
-        identity_similarity(dt),
+        identity_similarity(dt) if init_sim is None else init_sim,
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
     )
@@ -156,10 +192,13 @@ def icp_generalized(
     scene_normals=None,
     normal_k: int = 16,
     eps: float = 1e-3,
+    init=None,
 ):
     """Generalized (plane-to-plane) ICP.  Normals for BOTH clouds are
     estimated via kNN-PCA if not given; ``eps`` is the across-surface
-    covariance (0 -> pure plane metric, 1 -> point-to-point)."""
+    covariance (0 -> pure plane metric, 1 -> point-to-point).  ``init``:
+    optional warm-start ``Similarity``."""
+    from icp_tpu.engine.icp import _cast_sim
     from icp_tpu.ops.normals import estimate_normals
 
     cfg = config or ICPConfig()
@@ -183,4 +222,139 @@ def icp_generalized(
         nn_method=cfg.resolved_nn_method(backend),
         scene_tile=cfg.scene_tile,
         model_tile=cfg.model_tile,
+        trim_fraction=cfg.trim_fraction,
+        init_sim=None if init is None else _cast_sim(init, cfg.dtype),
     )
+
+
+def icp_generalized_sharded(
+    model,
+    scene,
+    config: Optional[ICPConfig] = None,
+    *,
+    model_normals=None,
+    scene_normals=None,
+    normal_k: int = 16,
+    eps: float = 1e-3,
+    mesh=None,
+):
+    """Multi-chip GICP: scene + its covariances sharded over the points
+    mesh; model + ITS covariances ride the ring ``ppermute`` fold as payload
+    (the winning (point, covariance) pair is gathered during the fold — no
+    device ever holds the full model); the 6x6 covariance-weighted normal
+    equations are psum-reduced and the solve + Rodrigues run replicated.
+    Supports trimmed GICP via the distributed histogram quantile."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from icp_tpu.ops.normals import estimate_normals
+    from icp_tpu.parallel.mesh import make_mesh
+    from icp_tpu.parallel.sharded import (
+        _distributed_quantile,
+        _pad_rows,
+        _ring_correspond,
+    )
+
+    cfg = config or ICPConfig()
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+
+    model_j = jnp.asarray(model, cfg.dtype)
+    scene_j = jnp.asarray(scene, cfg.dtype)
+    if model_normals is None:
+        model_normals = estimate_normals(model_j, k=normal_k)
+    if scene_normals is None:
+        scene_normals = estimate_normals(scene_j, k=normal_k)
+    cov_m = disk_covariances(jnp.asarray(model_normals, cfg.dtype), eps)
+    cov_s = disk_covariances(jnp.asarray(scene_normals, cfg.dtype), eps)
+
+    dtype = np.dtype(cfg.dtype)
+    model_np = np.asarray(model, dtype)
+    scene_np = np.asarray(scene, dtype)
+    n = scene_np.shape[0]
+    m = model_np.shape[0]
+
+    scene_pad = _pad_rows(scene_np, n_dev, 0.0)
+    model_pad = _pad_rows(model_np, n_dev, 1.0e17)
+    # covariances padded flat (k, 9) then reshaped: identity rows are inert
+    covm_flat = _pad_rows(
+        np.asarray(cov_m, dtype).reshape(m, 9), n_dev,
+        0.0,
+    )
+    covm_flat[m:, :] = np.eye(3, dtype=dtype).reshape(1, 9)
+    covs_flat = _pad_rows(
+        np.asarray(cov_s, dtype).reshape(n, 9), n_dev, 0.0
+    )
+    covs_flat[n:, :] = np.eye(3, dtype=dtype).reshape(1, 9)
+    mask = np.zeros((scene_pad.shape[0],), dtype)
+    mask[:n] = 1.0
+
+    shard = NamedSharding(mesh, PartitionSpec(axis, None))
+    row = NamedSharding(mesh, PartitionSpec(axis))
+    args = (
+        jax.device_put(model_pad, shard),
+        jax.device_put(covm_flat, shard),
+        jax.device_put(scene_pad, shard),
+        jax.device_put(covs_flat, shard),
+        jax.device_put(mask, row),
+    )
+
+    max_iter = cfg.max_iter
+    trim_fraction = cfg.trim_fraction
+    threshold = jnp.asarray(cfg.threshold, cfg.dtype)
+    backend = jax.default_backend()
+    nn_impl = "pallas" if cfg.resolved_nn_method(backend) == "pallas" else "jnp"
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(m_loc, cm_loc, p_loc, cs_loc, w_loc):
+        def local(m_loc, cm_loc, p_loc, cs_loc, w_loc):
+            dt = p_loc.dtype
+
+            def cond(carry):
+                _, _, _, err, it = carry
+                return jnp.logical_and(it < max_iter, err >= threshold)
+
+            def body(carry):
+                p, cov_p, sim_tot, _, it = carry
+                y, _, (cy_flat,) = _ring_correspond(
+                    p, m_loc, axis=axis, n_dev=n_dev, nn_impl=nn_impl,
+                    payload=(cm_loc,),
+                )
+                Cy = cy_flat.reshape(-1, 3, 3)
+                if trim_fraction > 0.0:
+                    d2 = jnp.sum((y - p) ** 2, axis=1)
+                    tau = _distributed_quantile(
+                        d2, w_loc, 1.0 - trim_fraction, axis
+                    )
+                    w_eff = w_loc * (d2 <= tau).astype(dt)
+                else:
+                    w_eff = w_loc
+                sim, p_new, err = _gicp_system(
+                    p, y, Cy, cov_p.reshape(-1, 3, 3), weights=w_eff,
+                    axis=axis,
+                )
+                cov_p2 = jnp.einsum(
+                    "ij,njk,lk->nil", sim.R, cov_p.reshape(-1, 3, 3), sim.R,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(-1, 9)
+                return p_new, cov_p2, compose(sim_tot, sim), err, it + 1
+
+            init = (p_loc, cs_loc, identity_similarity(dt),
+                    jnp.asarray(jnp.inf, dt), jnp.asarray(0, jnp.int32))
+            p, _, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
+            return p, sim_tot, err, it
+
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None), P(axis)),
+            out_specs=(P(axis, None), P(), P(), P()),
+            check_vma=False,
+        )(m_loc, cm_loc, p_loc, cs_loc, w_loc)
+
+    p, sim_tot, err, it = run(*args)
+    return ICPResult(points=p[:n], transform=sim_tot, err=err, iters=it)

@@ -90,8 +90,11 @@ def _icp_p2pl_while(
     nn_method: str,
     scene_tile: int,
     model_tile: int,
+    init_sim=None,
 ):
     dt = scene.dtype
+    if init_sim is not None:
+        scene = apply_similarity(scene, init_sim)
 
     def cond(carry):
         _, _, err, it = carry
@@ -107,7 +110,7 @@ def _icp_p2pl_while(
 
     init = (
         scene,
-        identity_similarity(dt),
+        identity_similarity(dt) if init_sim is None else init_sim,
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
     )
@@ -124,16 +127,18 @@ def icp_point_to_plane_sharded(
     normal_k: int = 16,
     mesh=None,
 ):
-    """Multi-chip point-to-plane: scene sharded over the points mesh, model +
-    normals all-gathered once per device, 6x6 normal equations psum-reduced,
-    solve + Rodrigues replicated.  Same Schur-style collective pattern as the
-    sharded Horn engine."""
+    """Multi-chip point-to-plane: scene AND model sharded over the points
+    mesh; correspondence via the ring ``ppermute`` fold with the normals
+    riding the ring as payload (the winning normal is gathered during the
+    fold — no device ever holds the full model or an O(N_loc x M) buffer,
+    unlike the earlier all-gather + bcast formulation); 6x6 normal equations
+    psum-reduced, solve + Rodrigues replicated."""
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec
 
     from icp_tpu.ops.normals import estimate_normals
     from icp_tpu.parallel.mesh import make_mesh
-    from icp_tpu.parallel.sharded import _pad_rows
+    from icp_tpu.parallel.sharded import _pad_rows, _ring_correspond
 
     cfg = config or ICPConfig()
     mesh = mesh or make_mesh()
@@ -165,13 +170,12 @@ def icp_point_to_plane_sharded(
 
     max_iter = cfg.max_iter
     threshold = jnp.asarray(cfg.threshold, cfg.dtype)
-    nn_method = "bcast"  # local NN against the gathered model
+    backend = jax.default_backend()
+    nn_impl = "pallas" if cfg.resolved_nn_method(backend) == "pallas" else "jnp"
 
     @functools.partial(jax.jit, static_argnames=())
     def run(m_loc, nrm_loc, p_loc, w_loc):
         def local(m_loc, nrm_loc, p_loc, w_loc):
-            m_full = jax.lax.all_gather(m_loc, axis, tiled=True)
-            nrm_full = jax.lax.all_gather(nrm_loc, axis, tiled=True)
             dt = p_loc.dtype
 
             def cond(carry):
@@ -180,9 +184,10 @@ def icp_point_to_plane_sharded(
 
             def body(carry):
                 p, sim_tot, _, it = carry
-                idx = closest_point_indices(p, m_full, method=nn_method)
-                y = jnp.take(m_full, idx, axis=0)
-                nv = jnp.take(nrm_full, idx, axis=0)
+                y, _, (nv,) = _ring_correspond(
+                    p, m_loc, axis=axis, n_dev=n_dev, nn_impl=nn_impl,
+                    payload=(nrm_loc,),
+                )
                 r = jnp.sum(nv * (p - y), axis=1) * w_loc
                 J = jnp.concatenate([jnp.cross(p, nv), nv], axis=1) * w_loc[:, None]
                 A = jax.lax.psum(
@@ -226,13 +231,16 @@ def icp_point_to_plane(
     *,
     normals=None,
     normal_k: int = 16,
+    init=None,
 ):
     """Register ``scene`` onto ``model`` minimizing point-to-plane distance.
 
     ``normals``: optional precomputed (M, 3) model normals; estimated via
     kNN-PCA (``ops/normals.py``) if omitted.  Convergence threshold applies
-    to the mean squared plane distance.
+    to the mean squared plane distance.  ``init``: optional warm-start
+    ``Similarity`` (the returned transform still maps the caller's scene).
     """
+    from icp_tpu.engine.icp import _cast_sim
     from icp_tpu.ops.normals import estimate_normals
 
     cfg = config or ICPConfig()
@@ -253,4 +261,5 @@ def icp_point_to_plane(
         nn_method=cfg.resolved_nn_method(backend),
         scene_tile=cfg.scene_tile,
         model_tile=cfg.model_tile,
+        init_sim=None if init is None else _cast_sim(init, cfg.dtype),
     )

@@ -112,18 +112,24 @@ def _masked_stats(p, y, w, axis: str) -> AlignmentStats:
     return jax.tree.map(lambda x: jax.lax.psum(x, axis), local)
 
 
-def _ring_correspond(p_loc, m_loc, *, axis: str, n_dev: int, nn_impl: str = "jnp"):
-    """Ring NN fold: returns (matched model points, validity mask ignored).
+def _ring_correspond(p_loc, m_loc, *, axis: str, n_dev: int, nn_impl: str = "jnp",
+                     payload=()):
+    """Ring NN fold: returns (matched model points, global indices[, payloads]).
 
     Each of the ``n_dev`` hops: fold local argmin vs the held shard, then
     pass the shard one neighbor to the right (ICI ring).
+
+    ``payload``: optional tuple of per-model-point arrays (M_loc, ...) that
+    ride the ring alongside the model shard; each winning row is gathered
+    during the fold (normals for point-to-plane, covariances for GICP) — no
+    global gather is ever needed.
     """
     m_shard = m_loc.shape[0]
     my = jax.lax.axis_index(axis)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     def body(k, carry):
-        best_d, best_i, best_pt, m_cur = carry
+        best_d, best_i, best_pt, best_pl, m_cur, pl_cur = carry
         # owner of the held shard (all int32 to keep lax.rem happy on x64)
         src = jax.lax.rem(
             my.astype(jnp.int32) - k.astype(jnp.int32) + jnp.int32(n_dev),
@@ -138,18 +144,33 @@ def _ring_correspond(p_loc, m_loc, *, axis: str, n_dev: int, nn_impl: str = "jnp
         best_d = jnp.where(better, d, best_d)
         best_i = jnp.where(better, gi, best_i)
         best_pt = jnp.where(better[:, None], pt, best_pt)
-        # Rotate the model shard around the ring (skipped result on last hop
-        # is dead code XLA can elide; keeping it unconditional stays fusable).
+        best_pl = tuple(
+            jnp.where(
+                better.reshape((-1,) + (1,) * (cur.ndim - 1)),
+                jnp.take(cur, idx_local, axis=0),
+                best,
+            )
+            for best, cur in zip(best_pl, pl_cur)
+        )
+        # Rotate the model shard (+payloads) around the ring (skipped result
+        # on the last hop is dead code XLA can elide; keeping it
+        # unconditional stays fusable).
         m_cur = jax.lax.ppermute(m_cur, axis, perm)
-        return best_d, best_i, best_pt, m_cur
+        pl_cur = tuple(jax.lax.ppermute(x, axis, perm) for x in pl_cur)
+        return best_d, best_i, best_pt, best_pl, m_cur, pl_cur
 
+    n_loc = p_loc.shape[0]
     init = (
-        jnp.full((p_loc.shape[0],), _BIG, p_loc.dtype),
-        jnp.full((p_loc.shape[0],), _INT_MAX, jnp.int32),
+        jnp.full((n_loc,), _BIG, p_loc.dtype),
+        jnp.full((n_loc,), _INT_MAX, jnp.int32),
         jnp.zeros_like(p_loc),
+        tuple(jnp.zeros((n_loc,) + x.shape[1:], x.dtype) for x in payload),
         m_loc,
+        tuple(payload),
     )
-    _, best_i, best_pt, _ = jax.lax.fori_loop(0, n_dev, body, init)
+    _, best_i, best_pt, best_pl, _, _ = jax.lax.fori_loop(0, n_dev, body, init)
+    if payload:
+        return best_pt, best_i, best_pl
     return best_pt, best_i
 
 

@@ -31,6 +31,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "alignment; rescues large-rotation pairs)")
     p.add_argument("--scale", action="store_true",
                    help="similarity (allow per-pair scale); default rigid")
+    p.add_argument("--engine", default="point_to_point",
+                   choices=["point_to_point", "point_to_plane", "gicp"],
+                   help="registration metric (plane-based engines converge "
+                        "in ~3 iters and handle sliding contact)")
+    p.add_argument("--trim", type=float, default=0.0, metavar="FRAC",
+                   help="trimmed registration: reject this fraction of "
+                        "worst matches per iteration")
     p.add_argument("--refine", action="store_true",
                    help="bundle-adjust poses after the chain")
     p.add_argument("--solver", default="auto")
@@ -63,9 +70,11 @@ def main(argv=None) -> int:
         nn_method=args.nn,
         with_scale=args.scale,
         validate_inputs=False,
+        trim_fraction=args.trim,
     )
     pairs = register_chain(
-        reg_clouds, cfg, multiscale=tuple(args.multiscale), init=args.init
+        reg_clouds, cfg, multiscale=tuple(args.multiscale), init=args.init,
+        engine=args.engine,
     )
     for k, pr in enumerate(pairs):
         print(

@@ -85,6 +85,24 @@ def initialize_pca(
     return best[1]
 
 
+_ENGINES = ("point_to_point", "point_to_plane", "gicp")
+
+
+def _run_engine(engine: str, model, scene, cfg: ICPConfig,
+                init=None) -> ICPResult:
+    if engine == "point_to_point":
+        return icp(model, scene, cfg, init=init)
+    if engine == "point_to_plane":
+        from icp_tpu.engine.point_to_plane import icp_point_to_plane
+
+        return icp_point_to_plane(model, scene, cfg, init=init)
+    if engine == "gicp":
+        from icp_tpu.engine.gicp import icp_generalized
+
+        return icp_generalized(model, scene, cfg, init=init)
+    raise ValueError(f"unknown engine {engine!r}; choose from {_ENGINES}")
+
+
 def register_pair(
     model: np.ndarray,
     scene: np.ndarray,
@@ -92,8 +110,9 @@ def register_pair(
     *,
     multiscale: Sequence[int] = (1,),
     init: Optional[object] = None,
+    engine: str = "point_to_point",
 ) -> PairwiseResult:
-    """ICP-register ``scene`` onto ``model`` (unequal counts allowed).
+    """Register ``scene`` onto ``model`` (unequal counts allowed).
 
     ``multiscale``: subsampling factors, coarse to fine, e.g. ``(16, 4, 1)``.
     Each level runs ICP on every k-th point starting from the previous
@@ -102,17 +121,24 @@ def register_pair(
     ``init``: optional global initialization — a ``Similarity``, or the
     string ``"pca"`` for principal-axis alignment (rescues large-rotation
     pairs that stall vanilla ICP; see ``initialize_pca``).
+
+    ``engine``: registration metric — ``"point_to_point"`` (Horn, scale
+    optional), ``"point_to_plane"`` or ``"gicp"`` (both rigid; converge in
+    ~3 iterations vs ~7 and tolerate sliding contact / disjoint sampling —
+    the right choice for real scan chains).
     """
     cfg = config or ICPConfig()
     if cfg.validate_inputs:
         cfg = dataclasses.replace(cfg, validate_inputs=False)
+    if engine != "point_to_point" and cfg.with_scale:
+        # plane-based metrics are SE(3)-only; scale is not identifiable
+        cfg = dataclasses.replace(cfg, with_scale=False)
 
     import jax.numpy as jnp
 
-    from icp_tpu.ops.transform import apply_similarity
-
     if init == "pca":
-        init = initialize_pca(model, scene, with_scale=cfg.with_scale)
+        init = initialize_pca(model, scene,
+                              with_scale=cfg.with_scale)
     if init is None:
         total = identity_similarity(cfg.dtype)
     else:
@@ -123,12 +149,14 @@ def register_pair(
         )
     err, iters = float("inf"), 0
     for k in multiscale:
+        # warm-start through the engine (init=) instead of pre-transforming
+        # the cloud: the engine composes the level's refinement onto `total`
+        # and returns the cumulative transform directly.
         sub_model = np.ascontiguousarray(model[::k])
-        sub_scene = np.asarray(
-            apply_similarity(jnp.asarray(scene[::k], cfg.dtype), total)
-        )
-        res: ICPResult = icp(sub_model, sub_scene, cfg)
-        total = compose(total, res.transform)
+        sub_scene = np.ascontiguousarray(scene[::k])
+        res: ICPResult = _run_engine(engine, sub_model, sub_scene, cfg,
+                                     init=total)
+        total = res.transform
         err, iters = float(res.err), iters + int(res.iters)
     return PairwiseResult(transform=total, err=err, iters=iters)
 
@@ -139,13 +167,16 @@ def register_chain(
     *,
     multiscale: Sequence[int] = (1,),
     init: Optional[object] = None,
+    engine: str = "point_to_point",
 ) -> List[PairwiseResult]:
     """Register each scan onto its predecessor: results[i] maps cloud i+1
     into cloud i's frame.  ``init="pca"`` applies per-pair PCA initialization
-    (recommended for chains with large inter-view rotations)."""
+    (recommended for chains with large inter-view rotations); ``engine``
+    selects the registration metric per pair (see ``register_pair``)."""
     out = []
     for a, b in zip(clouds[:-1], clouds[1:]):
-        out.append(register_pair(a, b, config, multiscale=multiscale, init=init))
+        out.append(register_pair(a, b, config, multiscale=multiscale,
+                                 init=init, engine=engine))
     return out
 
 

@@ -35,6 +35,46 @@ def test_gicp_recovers_transform(rng):
     np.testing.assert_allclose(np.asarray(res.transform.t), t, atol=1e-4)
 
 
+def test_gicp_sharded_matches_single(rng):
+    """Ring-fold sharded GICP (model covariances as ring payload) lands on
+    the single-device transform."""
+    import jax
+
+    from icp_tpu.engine.gicp import icp_generalized_sharded
+    from icp_tpu.ops.normals import estimate_normals
+    from icp_tpu.parallel.mesh import make_mesh
+
+    model = _wavy_surface(rng, 1100)
+    R, t = _small_rigid(rng)
+    scene = ((model - t) @ R)[:-7]  # unequal counts exercise masking
+    cfg = ICPConfig(max_iter=40, dtype=jnp.float64, nn_method="bcast",
+                    validate_inputs=False, threshold=1e-14)
+    nm = estimate_normals(jnp.asarray(model, jnp.float64), k=12)
+    ns = estimate_normals(jnp.asarray(scene, jnp.float64), k=12)
+    single = icp_generalized(model, scene, cfg, model_normals=nm,
+                             scene_normals=ns)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = icp_generalized_sharded(model, scene, cfg, model_normals=nm,
+                                      scene_normals=ns, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded.transform.R),
+                               np.asarray(single.transform.R), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sharded.transform.t),
+                               np.asarray(single.transform.t), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sharded.transform.R), R, atol=1e-4)
+
+
+def test_gicp_trimmed_rejects_outliers(rng):
+    from tests.test_trimmed import _make_outlier_problem
+
+    world, scene_bad, R, t = _make_outlier_problem(rng)
+    cfg = ICPConfig(max_iter=60, dtype=jnp.float64, nn_method="bcast",
+                    with_scale=False, validate_inputs=False,
+                    trim_fraction=0.3, threshold=1e-14)
+    res = icp_generalized(world, scene_bad, cfg)
+    R_err = np.abs(np.asarray(res.transform.R) @ R - np.eye(3)).max()
+    assert R_err < 1e-3, R_err
+
+
 def test_gicp_beats_point_to_point_on_disjoint_sampling(rng):
     from icp_tpu import icp
 
