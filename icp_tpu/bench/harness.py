@@ -166,6 +166,7 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         ops["closest_pallas"] = nn_pallas
         from icp_tpu.engine.grid import _prepare_scene
         from icp_tpu.kernels.nn_grid import (
+            bound_from_indices,
             build_model_grid,
             closest_point_indices_grid,
         )
@@ -175,11 +176,12 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         grid = build_model_grid(ref)
         p_kd, _, _, tn = _prepare_scene(ref, 256)  # converged: scene == ref
         prev = closest_point_indices_pallas(p_kd, ref)
+        u_prev = bound_from_indices(p_kd, grid, prev)
 
         def nn_grid(m, p, c):
             return closest_point_indices_grid(
-                p_kd + c * _EPS, grid, prev, scene_tile=tn
-            )
+                p_kd + c * _EPS, grid, u_prev + c * _EPS, scene_tile=tn
+            )[0]
 
         ops["closest_grid"] = nn_grid
 
@@ -259,6 +261,49 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         _progress(
             f"full loop (grid): {per_iter*1e6:.1f} us/iter "
             f"({1/per_iter:.0f} iter/s device-side)"
+        )
+
+    if not include or "full_loop_sharded" in include:
+        # Sharded engine on whatever mesh this host has (1 chip on the axon
+        # TPU: measures the shard_map + collectives overhead vs the plain
+        # loop; 8 virtual devices on CPU).  The reference has no counterpart
+        # (single-GPU only) — this row tracks the at-scale engine's health.
+        from icp_tpu.config import ICPConfig
+        from icp_tpu.parallel.mesh import make_mesh
+        from icp_tpu.parallel.sharded import icp_sharded
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+
+        cfg_sh = ICPConfig(
+            max_iter=1, threshold=0.0, solver=solver,
+            nn_method=nn_method, reference_compat=True,
+        )
+
+        def timed_sharded(k):
+            def run():
+                # dynamic n_iters: ONE compiled program serves both counts
+                res = icp_sharded(ref_np, tr1_np, cfg_sh, mesh=mesh, n_iters=k)
+                float(res.err)
+
+            return wall_time(run)
+
+        _progress(f"full loop (sharded, {n_dev} dev) ...")
+        t_small = timed_sharded(n_iters)
+        t_big = timed_sharded(n_iters + 500)
+        per_iter = (t_big - t_small) / 500
+        results.append(
+            dict(
+                benchmark="full_loop_sharded_per_iter",
+                time_us=per_iter * 1e6,
+                rate_per_s=1.0 / per_iter,
+                n_devices=n_dev,
+                wall_20_iters_ms=t_small * 1e3,
+            )
+        )
+        _progress(
+            f"full loop (sharded): {per_iter*1e6:.1f} us/iter "
+            f"({1/per_iter:.0f} iter/s device-side, {n_dev} devices)"
         )
     return results
 

@@ -127,9 +127,10 @@ def main(argv=None) -> int:
         elif args.sharded:
             from icp_tpu.parallel.sharded import icp_sharded
 
-            # Sharded path reports the final error (no on-device trace yet).
-            res = icp_sharded(model, scene, cfg)
-            errs, iters = None, int(res.iters)
+            tr = icp_sharded(model, scene, cfg, trace=True)
+            res = tr.result
+            iters = int(res.iters)
+            errs = np.asarray(tr.errs)[:iters]
         elif args.metrics:
             from icp_tpu.utils.metrics import run_with_metrics
 

@@ -282,11 +282,16 @@ def icp_generalized_sharded(
         np.asarray(cov_m, dtype).reshape(m, 9), n_dev,
         0.0,
     )
-    covm_flat[m:, :] = np.eye(3, dtype=dtype).reshape(1, 9)
     covs_flat = _pad_rows(
         np.asarray(cov_s, dtype).reshape(n, 9), n_dev, 0.0
     )
-    covs_flat[n:, :] = np.eye(3, dtype=dtype).reshape(1, 9)
+    # identity covariance on pad rows (inert in the GN stats; guard the
+    # no-pad case — _pad_rows then returns the read-only original)
+    eye9 = np.eye(3, dtype=dtype).reshape(1, 9)
+    if covm_flat.shape[0] > m:
+        covm_flat[m:, :] = eye9
+    if covs_flat.shape[0] > n:
+        covs_flat[n:, :] = eye9
     mask = np.zeros((scene_pad.shape[0],), dtype)
     mask[:n] = 1.0
 

@@ -6,10 +6,13 @@ Same outer loop as ``engine/icp.py`` (one jitted ``lax.while_loop``; reference
   * the scene is kd-sorted ONCE before the loop (similarity transforms
     preserve neighborhoods, so scene tiles stay spatially compact for the
     whole run) and un-permuted at the end;
-  * the loop carry additionally holds the previous iteration's correspondence
-    indices — each point's distance to its previous match upper-bounds its
-    current NN distance, which is what lets the work-list kernel cull model
-    tiles (exact, with dense fallback on overflow);
+  * the loop carry additionally holds ``u`` — each point's squared residual
+    to its previous matched point (computed as a byproduct of the error
+    term), which upper-bounds its current NN distance and lets the work-list
+    kernel cull model tiles (exact, with dense fallback on overflow).
+    Carrying the bound VALUE rather than the matched index keeps row gathers
+    out of the loop (~440 us each at horse scale, measured); the matched
+    points themselves come straight out of the NN kernel;
   * the cloud is padded to the kd tile multiple by replicating the last
     point; padded rows ride along with weight 0 (masked out of the alignment
     stats, the error, and the trim quantile).
@@ -29,6 +32,7 @@ from icp_tpu.engine.icp import ICPResult, ICPTrace
 from icp_tpu.kernels.nn_grid import (
     ModelGrid,
     _round_up,
+    bound_from_indices,
     build_model_grid,
     closest_point_indices_grid,
     initial_bound_indices,
@@ -64,18 +68,21 @@ def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
                   reference_compat: bool, trim_fraction: float, tn: int,
                   max_candidates: int, interp: bool, n_real: int,
                   n_pad: int):
-    """One grid-pruned ICP iteration: (p, state, idx_prev) ->
-    (p_new, state', err, idx)."""
+    """One grid-pruned ICP iteration: (p, state, u_prev) ->
+    (p_new, state', err, u_next)."""
     fused = solver == "qcp_fused"
 
-    def step(p, state, idx_prev):
-        idx = closest_point_indices_grid(
-            p, grid, idx_prev, scene_tile=tn,
+    def step(p, state, u_prev):
+        _, y, d2 = closest_point_indices_grid(
+            p, grid, u_prev, scene_tile=tn,
             max_candidates=max_candidates, interpret=interp,
         )
-        y = jnp.take(grid.model_orig, idx, axis=0).astype(p.dtype)
+        y = y.astype(p.dtype)
         if trim_fraction > 0.0:
-            d2 = jnp.sum((y - p) ** 2, axis=1)
+            # kernel d2 is f32; recompute in the engine dtype when wider so
+            # the trim threshold matches the dense engine bit-for-bit
+            if p.dtype != jnp.float32:
+                d2 = jnp.sum((y - p) ** 2, axis=1)
             # quantile over REAL rows: padded rows sit at the sentinel and
             # occupy the top ranks, so rescale q onto the real prefix.
             q = (1.0 - trim_fraction) * (n_real - 1) / max(n_pad - 1, 1)
@@ -97,16 +104,22 @@ def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
             )
             sim, _, err_sum = unpack_state(new_state)
             p_new = apply_similarity(p, sim)
+            d = y - p_new
+            d2_new = jnp.sum(d * d, axis=1)
         else:
             sim = alignment_from_stats(stats, solver=solver,
                                        with_scale=with_scale)
             new_state = compose(state, sim)
             p_new = apply_similarity(p, sim)
             d = y - p_new
-            err_sum = jnp.sum(w_eff * jnp.sum(d * d, axis=1))
+            d2_new = jnp.sum(d * d, axis=1)
+            err_sum = jnp.sum(w_eff * d2_new)
         n_eff = stats.n.astype(err_sum.dtype)
         err = (2.0 * err_sum / n_eff) if reference_compat else (err_sum / n_eff)
-        return p_new, new_state, err, idx
+        # next iteration's culling bounds: distance to this iteration's
+        # match after the transform — a model point, hence a valid upper
+        # bound on the new NN distance.  No gather needed.
+        return p_new, new_state, err, d2_new.astype(jnp.float32)
 
     return step
 
@@ -180,6 +193,7 @@ def _icp_grid(
     stride = max(1, min(bound_stride, model.shape[0] // 4))
     idx0 = initial_bound_indices(p0, grid.model_orig, stride=stride,
                                  interpret=interp)
+    u0 = bound_from_indices(p0, grid, idx0)  # one-time gather, pre-loop
 
     step = _grid_step_fn(
         grid, w, solver=solver, with_scale=with_scale,
@@ -198,40 +212,40 @@ def _icp_grid(
             return jnp.logical_and(it < max_iter, err >= threshold)
 
         def body(carry):
-            p, state, _, it, idx = carry
-            p_new, state2, err, idx2 = step(p, state, idx)
-            return p_new, state2, err, it + 1, idx2
+            p, state, _, it, u = carry
+            p_new, state2, err, u2 = step(p, state, u)
+            return p_new, state2, err, it + 1, u2
 
         p, state, err, it, _ = jax.lax.while_loop(
-            cond, body, (p0, state0, err0, it0, idx0)
+            cond, body, (p0, state0, err0, it0, u0)
         )
         errs = None
     elif mode == "trace":
         def body(carry, _):
-            p, state, err, it, idx, done = carry
-            p_new, state2, err_new, idx2 = step(p, state, idx)
+            p, state, err, it, u, done = carry
+            p_new, state2, err_new, u2 = step(p, state, u)
             keep = lambda new, old: jnp.where(done, old, new)
             p = keep(p_new, p)
             state = jax.tree.map(keep, state2, state)
             err = keep(err_new, err)
-            idx = keep(idx2, idx)
+            u = keep(u2, u)
             it = jnp.where(done, it, it + 1)
             done = jnp.logical_or(done, err < threshold)
-            return (p, state, err, it, idx, done), err
+            return (p, state, err, it, u, done), err
 
         (p, state, err, it, _, _), errs = jax.lax.scan(
-            body, (p0, state0, err0, it0, idx0, jnp.asarray(False)),
+            body, (p0, state0, err0, it0, u0, jnp.asarray(False)),
             None, length=max_iter,
         )
     else:  # fixed
         def fbody(_, carry):
-            p, state, err, idx = carry
-            p_new, state2, err2, idx2 = step(p, state, idx)
-            return p_new, state2, err2, idx2
+            p, state, err, u = carry
+            p_new, state2, err2, u2 = step(p, state, u)
+            return p_new, state2, err2, u2
 
         nit = jnp.asarray(n_iters, jnp.int32)
         p, state, err, _ = jax.lax.fori_loop(
-            0, nit, fbody, (p0, state0, err0, idx0)
+            0, nit, fbody, (p0, state0, err0, u0)
         )
         it = nit
         errs = None

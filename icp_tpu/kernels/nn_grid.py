@@ -26,16 +26,19 @@ tree (which cannot map onto XLA/Mosaic):
      The (scene-tile x model-tile) mask is tiny (e.g. 2048 x 64 at 1M x 65k);
      each row's passing tile ids are compacted into a (Ni, C) candidate
      table (one per-row sort) plus per-row counts.
-  4. **Gathered-candidates Pallas kernel.**  XLA gathers each scene tile's
-     candidate model tiles (original indices riding in an f32 lane) into one
-     dense (Ni, C*tm, 8) buffer — a tile-granular ``take``, bandwidth-cheap
-     — and a (Ni,) grid gives each scene tile ONE kernel step that folds its
-     candidates with an in-kernel ``fori_loop(0, count)``: compute runs for
-     exactly the real candidates, and the ~us-scale per-grid-step overhead
-     is paid Ni times, not Ni*C times (the two-level (Ni, C) grid variant
-     spent ~90% of its time on gated-off steps at horse scale).  All
-     BlockSpec index maps are static functions of the grid index (the same
-     proven pattern as the dense kernel).
+  4. **In-kernel DMA work-list Pallas kernel.**  The kd-sorted model stays
+     resident in HBM as (Nj, 8, tm) — coords+original-index on sublanes,
+     points on lanes, so a tile slice is (8, tm) and lane-aligned.  A (Ni,)
+     grid gives each scene tile ONE kernel step that ``fori_loop``s over its
+     (dynamic) candidate count, DMA-ing each candidate tile HBM->VMEM with
+     double buffering (``make_async_copy``; next tile's copy in flight while
+     the current folds).  Total HBM traffic is sum(counts)*tm*32B — the
+     tiles actually needed — vs the 100 MB/iteration (Ni, C*tm, 8) buffer an
+     XLA-side gather materializes at horse scale (measured: the gather
+     version was only 1.4x over dense; this one is compute-bound).  Per-
+     grid-step overhead (~1.3 us) is paid Ni times, not Ni*C times (the
+     two-level (Ni, C) grid variant spent ~90% of its time on gated-off
+     steps at horse scale).
 
 Exactness: the candidate set provably contains every tile that can hold a
 true NN (u is an upper bound; bbox distance is a lower bound; both get an
@@ -48,7 +51,6 @@ the result matches brute force (``tests/oracle.py`` contract) in every case.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import NamedTuple
 
@@ -112,8 +114,10 @@ def levels_for(n: int, target_tile: int) -> int:
 class ModelGrid(NamedTuple):
     """kd-sorted model + per-tile bboxes (built once per ICP run)."""
 
-    tiles: jax.Array  # (Nj * tm, 8): lanes 0-2 coords (padding at 1e17),
-    #                   lane 3 = ORIGINAL index as f32 (exact below 2^24)
+    tiles_t: jax.Array  # (Nj, 8, tm) TRANSPOSED tiles: sublanes 0-2 coords
+    #                     (padding at 1e17), sublane 3 = ORIGINAL index as
+    #                     f32 (exact below 2^24); points on lanes so an HBM
+    #                     tile-slice DMA is (8, tm) and lane-aligned
     tile_lo: jax.Array  # (Nj, 3) per-tile bbox minima (real rows only)
     tile_hi: jax.Array  # (Nj, 3)
     model_orig: jax.Array  # (M, 3) f32 original-order model (u-bound gathers)
@@ -149,7 +153,9 @@ def build_model_grid(model: jax.Array, *, target_tile: int = 1024) -> ModelGrid:
     tile_lo = jnp.min(jnp.where(r3, tiled, _BIG), axis=1)
     tile_hi = jnp.max(jnp.where(r3, tiled, -_BIG), axis=1)
     return ModelGrid(
-        tiles=buf,
+        tiles_t=jnp.transpose(
+            buf.reshape(n_tiles, tm, _COORD_LANES), (0, 2, 1)
+        ),
         tile_lo=tile_lo,
         tile_hi=tile_hi,
         model_orig=model,
@@ -204,34 +210,72 @@ def _candidates(p_pad, u_pad, grid: ModelGrid, *, scene_tile: int, cap: int):
     return cand, counts, overflow
 
 
-def _pruned_kernel(tm: int, p_ref, mt_ref, cnt_ref, dist_ref, idx_ref):
+def _pruned_kernel(cand_ref, cnt_ref, p_ref, model_hbm, dist_ref, idx_ref,
+                   y0_ref, y1_ref, y2_ref, scratch, sems):
     """One grid step = ONE scene tile: fold its (dynamic) candidate count of
-    model tiles with an in-kernel ``fori_loop`` over the gathered block.
+    model tiles, each DMA-ed HBM->VMEM on demand with double buffering.
 
-    Design note: an earlier variant used a two-level (Ni, C) grid with
-    ``pl.when``-gated folds; at horse scale (256 x 16 = 4096 steps) the
-    ~1.3 us/step grid overhead dominated (~5.3 of 5.8 ms/iter).  One step
-    per scene tile pays the overhead Ni times and runs compute for exactly
-    ``count`` candidates — nothing for the gated-off slots.
+    Design notes (both measured at horse scale):
+      * a two-level (Ni, C) grid with ``pl.when``-gated folds spent ~90% of
+        its time on the ~1.3 us/step overhead of gated-off steps; one step
+        per scene tile pays the overhead Ni times and loops exactly
+        ``count`` times.
+      * an XLA-side gather of the candidate tiles into a dense (Ni, C*tm, 8)
+        operand moved ~100 MB/iteration regardless of counts (grid NN only
+        1.4x over dense); the in-kernel DMA moves sum(counts) tiles.
     """
-    i = pl.program_id(0)
     tn = p_ref.shape[0]
-    cnt = cnt_ref[i, 0]
+    tm = scratch.shape[2]
+    # This step's row inside the (8, cap) SMEM window (Mosaic requires the
+    # sublane block dim divisible by 8; a whole-table window hits the 1 MB
+    # SMEM limit at 1M points — each SMEM scalar pads to 32 B).
+    r = jax.lax.rem(pl.program_id(0), jnp.int32(8))
+    # counts >= 1 by construction (the previous-match tile always passes the
+    # cull); clamp anyway so the warm-up DMA is always legal and waited.
+    cnt = jnp.maximum(cnt_ref[r, 0], 1)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            model_hbm.at[cand_ref[r, c]],  # (8, tm) slice of (Nj, 8, tm)
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    get_dma(0, 0).start()
 
     def fold(c, carry):
-        best_d, best_i = carry
-        rows = mt_ref[pl.dslice(c * tm, tm), :]  # (tm, 8), c*tm sublane-aligned
+        best_d, best_i, best_y = carry
+        slot = jax.lax.rem(c, jnp.int32(2))
+
+        @pl.when(c + 1 < cnt)
+        def _():
+            get_dma(jax.lax.rem(c + jnp.int32(1), jnp.int32(2)), c + 1).start()
+
+        get_dma(slot, c).wait()
+        rows = scratch[slot]  # (8, tm): sublanes 0-2 coords, 3 orig index
         # Exact-f32 VPU broadcast distances (see nn_pallas._nn_kernel).
         d = jnp.zeros((tn, tm), jnp.float32)
         for k in range(3):
-            diff = p_ref[:, k][:, None] - rows[:, k][None, :]
+            diff = p_ref[:, k][:, None] - rows[k, :][None, :]
             d = d + diff * diff
         local_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
         # lowest ORIGINAL index among within-tile ties (kd order != index
-        # order; lane 3 carries the original index as exact-integer f32)
-        oidx = jnp.broadcast_to(rows[:, 3][None, :], d.shape)
+        # order; sublane 3 carries the original index as exact-integer f32)
+        oidx = jnp.broadcast_to(rows[3, :][None, :], d.shape)
         cand = jnp.where(d == local_min, oidx, jnp.float32(_BIG))
         win = jnp.min(cand, axis=1, keepdims=True)  # (TN, 1)
+        # Matched-point coords selected IN-kernel (the winning rows are in
+        # VMEM right now): a 48k-row XLA gather afterwards costs ~9 ns/row
+        # (~440 us at horse scale) — measured, dominates the pruned loop.
+        sel = jnp.logical_and(d == local_min, oidx == win)  # one lane true
+        y_new = tuple(
+            jnp.min(
+                jnp.where(sel, jnp.broadcast_to(rows[k, :][None, :], d.shape),
+                          jnp.float32(_BIG)),
+                axis=1, keepdims=True,
+            )
+            for k in range(3)
+        )
         better = jnp.logical_or(
             local_min < best_d,
             jnp.logical_and(local_min == best_d, win < best_i),
@@ -239,15 +283,32 @@ def _pruned_kernel(tm: int, p_ref, mt_ref, cnt_ref, dist_ref, idx_ref):
         return (
             jnp.where(better, local_min, best_d),
             jnp.where(better, win, best_i),
+            tuple(jnp.where(better, yn, yo) for yn, yo in zip(y_new, best_y)),
         )
 
     init = (
         jnp.full((tn, 1), jnp.float32(_BIG)),
         jnp.full((tn, 1), jnp.float32(_BIG)),
+        (jnp.zeros((tn, 1), jnp.float32),) * 3,
     )
-    best_d, best_i = jax.lax.fori_loop(0, cnt, fold, init)
+    best_d, best_i, best_y = jax.lax.fori_loop(0, cnt, fold, init)
     dist_ref[:] = best_d
     idx_ref[:] = best_i
+    y0_ref[:] = best_y[0]
+    y1_ref[:] = best_y[1]
+    y2_ref[:] = best_y[2]
+
+
+def bound_from_indices(scene: jax.Array, grid: ModelGrid,
+                       idx: jax.Array) -> jax.Array:
+    """(N,) NN-distance upper bounds: squared distance to a known model point.
+
+    One row gather — call OUTSIDE the hot loop (first iteration only; after
+    that the engine carries ``u = ||y - p_new||^2``, which it computes anyway:
+    a loop-varying 48k-row gather costs ~440 us on v5e, measured)."""
+    return jnp.sum(
+        (scene.astype(jnp.float32) - grid.model_orig[idx]) ** 2, axis=1
+    )
 
 
 # NOTE: not jax.jit-wrapped (same nested-jit lowering-cache hazard as
@@ -255,20 +316,24 @@ def _pruned_kernel(tm: int, p_ref, mt_ref, cnt_ref, dist_ref, idx_ref):
 def closest_point_indices_pruned(
     scene: jax.Array,
     grid: ModelGrid,
-    prev_idx: jax.Array,
+    u: jax.Array,
     *,
     scene_tile: int = 256,
     max_candidates: int = 16,
     interpret: bool | None = None,
 ):
-    """Exact NN via tile culling; returns (original indices, overflow flag).
+    """Exact NN via tile culling; returns (indices, matched points,
+    squared distances, overflow).
 
-    ``prev_idx``: (N,) ORIGINAL model indices whose distances upper-bound the
-    true NN distances (previous iteration's correspondence, or
-    ``initial_bound_indices``).  On overflow the caller must recompute with
-    the dense kernel (``lax.cond``); the returned indices are only exact when
-    ``overflow`` is False.  ``scene`` should be spatially coherent (engine:
-    kd-sorted once) for pruning to bite; correctness never depends on it.
+    ``u``: (N,) f32 upper bounds on each point's squared NN distance (the
+    previous iteration's residual ``||y - p_new||^2``, or
+    ``bound_from_indices`` on the first iteration).  On overflow the caller
+    must recompute with the dense kernel (``lax.cond``); the returned values
+    are only exact when ``overflow`` is False.  ``scene`` should be spatially
+    coherent (engine: kd-sorted once) for pruning to bite; correctness never
+    depends on it.  Matched points (the winning model rows) are emitted by
+    the kernel itself — they are in VMEM at fold time, and gathering them
+    afterwards would cost ~9 ns/row.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -288,7 +353,7 @@ def closest_point_indices_pruned(
     # skipped, not folded.
     p_pad = jnp.zeros((n_pad, _COORD_LANES), dt)
     p_pad = p_pad.at[:n, :3].set(scene)
-    u = jnp.sum((scene - grid.model_orig[prev_idx]) ** 2, axis=1)
+    u = u.astype(dt)
     if n_pad > n:
         p_pad = p_pad.at[n:, :3].set(scene[-1])
         u_pad = jnp.concatenate([u, jnp.broadcast_to(u[-1], (n_pad - n,))])
@@ -298,70 +363,84 @@ def closest_point_indices_pruned(
     cand, counts, overflow = _candidates(
         p_pad, u_pad, grid, scene_tile=tn, cap=cap
     )
-    # the kernel folds exactly counts[i] gathered slots; on overflow the
+    # the kernel folds exactly counts[i] candidate tiles; on overflow the
     # extra candidates were truncated, so clamp (result replaced by the
     # dense fallback anyway)
     counts_k = jnp.minimum(counts, cap)[:, None]  # (Ni, 1) SMEM operand
+    # pad rows to the (8, cap) SMEM window multiple (padded rows never read:
+    # the grid has ni steps)
+    ni8 = _round_up(ni, 8)
+    if ni8 > ni:
+        cand = jnp.pad(cand, ((0, ni8 - ni), (0, 0)))
+        counts_k = jnp.pad(counts_k, ((0, ni8 - ni), (0, 0)))
 
-    # XLA-side tile-granular gather of each scene tile's candidates, laid
-    # out (Ni, C*tm, 8) so one grid step sees ALL of tile i's candidates.
-    model_tiles = grid.tiles.reshape(nj, tm, _COORD_LANES)
-    gathered = model_tiles[cand.reshape(-1)].reshape(
-        ni, cap * tm, _COORD_LANES
-    )
-
-    dist, idx_f = pl.pallas_call(
-        functools.partial(_pruned_kernel, tm),
+    vals = pl.pallas_call(
+        _pruned_kernel,
         grid=(ni,),
         in_specs=[
+            # (8, cap) SMEM row-window of the candidate table (kernel reads
+            # row program_id % 8): a whole-table window hits the 1 MB SMEM
+            # limit at 1M points (Ni=4096 rows allocate 2 MB — each SMEM
+            # scalar pads to 32 B), and Mosaic requires the sublane block
+            # dim divisible by 8.
+            pl.BlockSpec((8, cap), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((None, tn, _COORD_LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, cap * tm, _COORD_LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # whole counts vector in SMEM (per-step unit blocks violate
-            # Mosaic's block-divisibility rule); kernel indexes program_id(0)
-            pl.BlockSpec((ni, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            # kd-sorted model stays in HBM; the kernel DMAs candidate tiles
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(5)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), dt),
-            jax.ShapeDtypeStruct((n_pad, 1), dt),
+            jax.ShapeDtypeStruct((n_pad, 1), dt) for _ in range(5)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, _COORD_LANES, tm), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(p_pad.reshape(ni, tn, _COORD_LANES), gathered, counts_k)
-    return idx_f[:n, 0].astype(jnp.int32), overflow
+    )(cand, counts_k, p_pad.reshape(ni, tn, _COORD_LANES), grid.tiles_t)
+    dist, idx_f, y0, y1, y2 = vals
+    y = jnp.concatenate([y0[:n], y1[:n], y2[:n]], axis=1)
+    return idx_f[:n, 0].astype(jnp.int32), y, dist[:n, 0], overflow
 
 
 def closest_point_indices_grid(
     scene: jax.Array,
     grid: ModelGrid,
-    prev_idx: jax.Array,
+    u: jax.Array,
     *,
     scene_tile: int = 256,
     max_candidates: int = 16,
     interpret: bool | None = None,
-) -> jax.Array:
-    """Exact NN with automatic dense fallback on candidate-table overflow.
+):
+    """Exact NN with automatic dense fallback on candidate-table overflow;
+    returns (indices, matched model points, squared distances).
 
-    Always returns indices identical to brute force (``tests/oracle.py``
-    contract: squared distance, lowest-original-index ties).
+    Always identical to brute force (``tests/oracle.py`` contract: squared
+    distance, lowest-original-index ties).  The distances use the same
+    broadcast diff-squares f32 math in both paths, so they are comparable
+    bitwise across calls (the sharded ring fold relies on this for
+    cross-shard tie-breaking).
     """
-    from icp_tpu.kernels.nn_pallas import closest_point_indices_pallas
+    from icp_tpu.kernels.nn_pallas import closest_point_with_distances_pallas
 
-    idx, overflow = closest_point_indices_pruned(
-        scene, grid, prev_idx,
+    idx, y, d2, overflow = closest_point_indices_pruned(
+        scene, grid, u,
         scene_tile=scene_tile, max_candidates=max_candidates,
         interpret=interpret,
     )
 
     def dense(_):
-        return closest_point_indices_pallas(
+        idx_d, d2_d = closest_point_with_distances_pallas(
             scene, grid.model_orig, scene_tile=256, model_tile=4096,
             interpret=interpret,
         )
+        return idx_d, jnp.take(grid.model_orig, idx_d, axis=0), d2_d
 
-    return jax.lax.cond(overflow, dense, lambda i: i, idx)
+    return jax.lax.cond(overflow, dense, lambda iyd: iyd, (idx, y, d2))

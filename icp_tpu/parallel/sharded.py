@@ -37,7 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from icp_tpu.config import ICPConfig
-from icp_tpu.engine.icp import ICPResult
+from icp_tpu.engine.icp import ICPResult, ICPTrace
 from icp_tpu.ops.alignment import AlignmentStats, alignment_from_stats
 from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
 from icp_tpu.parallel.mesh import make_mesh
@@ -192,6 +192,7 @@ def _allgather_correspond(p_loc, m_loc, *, axis: str, n_dev: int, nn_impl: str =
         "ring",
         "nn_impl",
         "trim_fraction",
+        "trace",
     ),
 )
 def _icp_sharded_jit(
@@ -199,6 +200,8 @@ def _icp_sharded_jit(
     scene_pad,
     scene_mask,
     threshold,
+    n_iters=None,  # dynamic iteration bound (one compile serves all counts);
+    #               None -> the static max_iter
     *,
     mesh: Mesh,
     max_iter: int,
@@ -208,19 +211,16 @@ def _icp_sharded_jit(
     ring: bool,
     nn_impl: str = "jnp",
     trim_fraction: float = 0.0,
+    trace: bool = False,
 ):
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     dt = scene_pad.dtype
     correspond = _ring_correspond if ring else _allgather_correspond
+    bound = jnp.asarray(max_iter if n_iters is None else n_iters, jnp.int32)
 
-    def local_icp(m_loc, p_loc, w_loc):
-        def cond(carry):
-            _, _, err, it = carry
-            return jnp.logical_and(it < max_iter, err >= threshold)
-
-        def body(carry):
-            p, sim_tot, _, it = carry
+    def local_icp(m_loc, p_loc, w_loc, bound):
+        def step(p, sim_tot, it):
             y, _ = correspond(p, m_loc, axis=axis, n_dev=n_dev, nn_impl=nn_impl)
             if trim_fraction > 0.0:
                 d2 = jnp.sum((y - p) ** 2, axis=1)
@@ -244,19 +244,57 @@ def _icp_sharded_jit(
             jnp.asarray(jnp.inf, dt),
             jnp.asarray(0, jnp.int32),
         )
+
+        if trace:
+            # scan with done-masking: fixed max_iter trips, per-iteration
+            # error trace out (same pattern as engine/icp.py mode="trace").
+            def body(carry, _):
+                p, sim_tot, err, it, done = carry
+                p2, sim2, err2, it2 = step(p, sim_tot, it)
+                keep = lambda new, old: jnp.where(done, old, new)
+                p = keep(p2, p)
+                sim_tot = jax.tree.map(keep, sim2, sim_tot)
+                err = keep(err2, err)
+                it = jnp.where(done, it, it2)
+                done = jnp.logical_or(
+                    jnp.logical_or(done, err < threshold), it >= bound
+                )
+                return (p, sim_tot, err, it, done), err
+
+            (p, sim_tot, err, it, _), errs = jax.lax.scan(
+                body, init + (jnp.asarray(False),), None, length=max_iter
+            )
+            return p, sim_tot, err, it, errs
+
+        def cond(carry):
+            _, _, err, it = carry
+            return jnp.logical_and(it < bound, err >= threshold)
+
+        def body(carry):
+            p, sim_tot, _, it = carry
+            return step(p, sim_tot, it)
+
         p, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
         return p, sim_tot, err, it
 
     shard = PartitionSpec(axis, None)
     mask_spec = PartitionSpec(axis)
     rep = PartitionSpec()
-    p, sim_tot, err, it = jax.shard_map(
+    out_specs = (shard, rep, rep, rep) + ((rep,) if trace else ())
+    out = jax.shard_map(
         local_icp,
         mesh=mesh,
-        in_specs=(shard, shard, mask_spec),
-        out_specs=(shard, rep, rep, rep),
+        in_specs=(shard, shard, mask_spec, rep),
+        out_specs=out_specs,
         check_vma=False,
-    )(model_pad, scene_pad, scene_mask)
+    )(model_pad, scene_pad, scene_mask, bound)
+    if trace:
+        p, sim_tot, err, it, errs = out
+        return ICPTrace(
+            result=ICPResult(points=p, transform=sim_tot, err=err, iters=it),
+            errs=errs,
+        )
+    p, sim_tot, err, it = out
     return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
 
 
@@ -325,6 +363,7 @@ def _correspond_2d(p_loc, m_loc, *, mp_axis: str, n_mp: int, mp_index,
         "reference_compat",
         "nn_impl",
         "trim_fraction",
+        "trace",
     ),
 )
 def _icp_sharded_2d_jit(
@@ -340,6 +379,7 @@ def _icp_sharded_2d_jit(
     reference_compat: bool,
     nn_impl: str = "jnp",
     trim_fraction: float = 0.0,
+    trace: bool = False,
 ):
     n_mp = mesh.shape["mp"]
     dt = scene_pad.dtype
@@ -347,12 +387,7 @@ def _icp_sharded_2d_jit(
     def local_icp(m_loc, p_loc, w_loc):
         mp_index = jax.lax.axis_index("mp")
 
-        def cond(carry):
-            _, _, err, it = carry
-            return jnp.logical_and(it < max_iter, err >= threshold)
-
-        def body(carry):
-            p, sim_tot, _, it = carry
+        def step(p, sim_tot, it):
             y, _ = _correspond_2d(
                 p, m_loc, mp_axis="mp", n_mp=n_mp, mp_index=mp_index,
                 nn_impl=nn_impl,
@@ -382,10 +417,40 @@ def _icp_sharded_2d_jit(
             jnp.asarray(jnp.inf, dt),
             jnp.asarray(0, jnp.int32),
         )
+
+        if trace:
+            def body(carry, _):
+                p, sim_tot, err, it, done = carry
+                p2, sim2, err2, it2 = step(p, sim_tot, it)
+                keep = lambda new, old: jnp.where(done, old, new)
+                p = keep(p2, p)
+                sim_tot = jax.tree.map(keep, sim2, sim_tot)
+                err = keep(err2, err)
+                it = jnp.where(done, it, it2)
+                done = jnp.logical_or(done, err < threshold)
+                return (p, sim_tot, err, it, done), err
+
+            (p, sim_tot, err, it, _), errs = jax.lax.scan(
+                body, init + (jnp.asarray(False),), None, length=max_iter
+            )
+            return p, sim_tot, err, it, errs
+
+        def cond(carry):
+            _, _, err, it = carry
+            return jnp.logical_and(it < max_iter, err >= threshold)
+
+        def body(carry):
+            p, sim_tot, _, it = carry
+            return step(p, sim_tot, it)
+
         p, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
         return p, sim_tot, err, it
 
-    p, sim_tot, err, it = jax.shard_map(
+    rep = PartitionSpec()
+    out_specs = (PartitionSpec("sp", None), rep, rep, rep) + (
+        (rep,) if trace else ()
+    )
+    out = jax.shard_map(
         local_icp,
         mesh=mesh,
         in_specs=(
@@ -393,14 +458,16 @@ def _icp_sharded_2d_jit(
             PartitionSpec("sp", None),  # scene over sp, replicated over mp
             PartitionSpec("sp"),
         ),
-        out_specs=(
-            PartitionSpec("sp", None),
-            PartitionSpec(),
-            PartitionSpec(),
-            PartitionSpec(),
-        ),
+        out_specs=out_specs,
         check_vma=False,
     )(model_pad, scene_pad, scene_mask)
+    if trace:
+        p, sim_tot, err, it, errs = out
+        return ICPTrace(
+            result=ICPResult(points=p, transform=sim_tot, err=err, iters=it),
+            errs=errs,
+        )
+    p, sim_tot, err, it = out
     return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
 
 
@@ -410,9 +477,14 @@ def icp_sharded_2d(
     config: Optional[ICPConfig] = None,
     *,
     mesh: Mesh,
+    trace: bool = False,
 ) -> ICPResult:
     """ICP over a 2-D (sp, mp) mesh: scene and model partitioned on
-    independent axes; every device owns one block of the distance problem."""
+    independent axes; every device owns one block of the distance problem.
+
+    ``trace=True`` returns an ``ICPTrace`` with the per-iteration error
+    sequence (scan-based loop; same observability as the single-device
+    engine)."""
     cfg = config or ICPConfig()
     n_sp = mesh.shape["sp"]
     n_mp = mesh.shape["mp"]
@@ -435,7 +507,7 @@ def icp_sharded_2d(
     mask_d = jax.device_put(mask, NamedSharding(mesh, PartitionSpec("sp")))
 
     backend = jax.default_backend()
-    res = _icp_sharded_2d_jit(
+    out = _icp_sharded_2d_jit(
         model_d,
         scene_d,
         mask_d,
@@ -447,13 +519,20 @@ def icp_sharded_2d(
         reference_compat=cfg.reference_compat,
         nn_impl="pallas" if cfg.resolved_nn_method(backend) == "pallas" else "jnp",
         trim_fraction=cfg.trim_fraction,
+        trace=trace,
     )
-    return ICPResult(
+    return _unpad_result(out, n, trace)
+
+
+def _unpad_result(out, n: int, trace: bool):
+    res = out.result if trace else out
+    res = ICPResult(
         points=res.points[:n],
         transform=res.transform,
         err=res.err,
         iters=res.iters,
     )
+    return ICPTrace(result=res, errs=out.errs) if trace else res
 
 
 def _pad_rows(arr: np.ndarray, mult: int, fill: float) -> np.ndarray:
@@ -472,11 +551,25 @@ def icp_sharded(
     *,
     mesh: Optional[Mesh] = None,
     ring: bool = True,
+    trace: bool = False,
+    n_iters=None,
 ) -> ICPResult:
     """Multi-chip ICP over a ``points`` mesh.  API-compatible with
-    ``icp_tpu.icp``; returns the same ``ICPResult`` (points un-padded)."""
+    ``icp_tpu.icp``; returns the same ``ICPResult`` (points un-padded).
+    ``trace=True`` returns an ``ICPTrace`` with the per-iteration errors.
+    ``n_iters``: optional DYNAMIC iteration bound replacing
+    ``config.max_iter`` — one compiled program serves every count
+    (benchmarking / chunked runs)."""
     cfg = config or ICPConfig()
     mesh = mesh or make_mesh()
+    if cfg.resolved_nn_method(jax.default_backend()) == "grid":
+        # spatially-pruned ring fold (parallel/sharded_grid.py); ``ring``
+        # does not apply — the grid path is always a ring
+        from icp_tpu.parallel.sharded_grid import icp_sharded_grid
+
+        return icp_sharded_grid(
+            model, scene, cfg, mesh=mesh, trace=trace, n_iters=n_iters
+        )
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
 
@@ -498,11 +591,12 @@ def icp_sharded(
     mask_d = jax.device_put(mask, mask_shard)
 
     backend = jax.default_backend()
-    res = _icp_sharded_jit(
+    out = _icp_sharded_jit(
         model_d,
         scene_d,
         mask_d,
         jnp.asarray(cfg.threshold, cfg.dtype),
+        None if n_iters is None else jnp.asarray(n_iters, jnp.int32),
         mesh=mesh,
         max_iter=cfg.max_iter,
         solver=cfg.resolved_solver(backend),
@@ -511,10 +605,6 @@ def icp_sharded(
         ring=ring,
         nn_impl="pallas" if cfg.resolved_nn_method(backend) == "pallas" else "jnp",
         trim_fraction=cfg.trim_fraction,
+        trace=trace,
     )
-    return ICPResult(
-        points=res.points[:n],
-        transform=res.transform,
-        err=res.err,
-        iters=res.iters,
-    )
+    return _unpad_result(out, n, trace)

@@ -7,6 +7,7 @@ import pytest
 
 from icp_tpu import ICPConfig, icp
 from icp_tpu.kernels.nn_grid import (
+    bound_from_indices,
     build_model_grid,
     closest_point_indices_grid,
     closest_point_indices_pruned,
@@ -50,12 +51,17 @@ def test_pruned_matches_oracle_with_fallback(rng, n, m):
     scene = _sphere(n, seed=2) * 1.02 + np.float32([0.01, -0.02, 0.005])
     grid = build_model_grid(jnp.asarray(model), target_tile=128)
     prev = initial_bound_indices(jnp.asarray(scene), jnp.asarray(model), stride=8)
-    got = np.asarray(
-        closest_point_indices_grid(
-            jnp.asarray(scene), grid, prev, scene_tile=64, max_candidates=16
-        )
+    u = bound_from_indices(jnp.asarray(scene), grid, prev)
+    idx, y, d2 = closest_point_indices_grid(
+        jnp.asarray(scene), grid, u, scene_tile=64, max_candidates=16
     )
-    np.testing.assert_array_equal(got, _oracle_nn(scene, model))
+    want = _oracle_nn(scene, model)
+    np.testing.assert_array_equal(np.asarray(idx), want)
+    # kernel-emitted matched points == gathered winners
+    np.testing.assert_array_equal(np.asarray(y), model[want])
+    np.testing.assert_allclose(
+        np.asarray(d2), np.sum((scene - model[want]) ** 2, axis=1), rtol=1e-5
+    )
 
 
 def test_pruned_exact_when_not_overflowing(rng):
@@ -68,12 +74,15 @@ def test_pruned_exact_when_not_overflowing(rng):
     perm = np.asarray(kd_order(jnp.asarray(scene), 4))
     s = scene[perm]
     grid = build_model_grid(jnp.asarray(model), target_tile=256)
-    idx, overflow = closest_point_indices_pruned(
-        jnp.asarray(s), grid, jnp.asarray(oracle[perm], jnp.int32),
-        scene_tile=125, max_candidates=16,
+    u = bound_from_indices(
+        jnp.asarray(s), grid, jnp.asarray(oracle[perm], jnp.int32)
+    )
+    idx, y, _, overflow = closest_point_indices_pruned(
+        jnp.asarray(s), grid, u, scene_tile=125, max_candidates=16,
     )
     assert not bool(overflow), "expected no overflow with tight bounds"
     np.testing.assert_array_equal(np.asarray(idx), oracle[perm])
+    np.testing.assert_array_equal(np.asarray(y), model[oracle[perm]])
 
 
 def test_pruned_tie_break_lowest_original_index(rng):
@@ -84,12 +93,11 @@ def test_pruned_tie_break_lowest_original_index(rng):
     scene = base[:100]
     grid = build_model_grid(jnp.asarray(model), target_tile=128)
     prev = initial_bound_indices(jnp.asarray(scene), jnp.asarray(model), stride=4)
-    got = np.asarray(
-        closest_point_indices_grid(
-            jnp.asarray(scene), grid, prev, scene_tile=32, max_candidates=32
-        )
+    u = bound_from_indices(jnp.asarray(scene), grid, prev)
+    idx, _, _ = closest_point_indices_grid(
+        jnp.asarray(scene), grid, u, scene_tile=32, max_candidates=32
     )
-    np.testing.assert_array_equal(got, _oracle_nn(scene, model))
+    np.testing.assert_array_equal(np.asarray(idx), _oracle_nn(scene, model))
 
 
 def test_icp_grid_converges_like_dense(cow_pair):

@@ -144,3 +144,38 @@ def test_ring_tie_breaks_to_lowest_global_index(mesh8):
         )
     )(jnp.asarray(p), jnp.asarray(m))
     np.testing.assert_array_equal(np.asarray(gi), np.zeros(16, np.int32))
+
+
+def test_sharded_trace_matches_single_device_trace(cow_pair, mesh8):
+    # Per-iteration error observability on the sharded path (scan loop) must
+    # reproduce the single-device trace exactly, and agree with the
+    # while-loop sharded result.
+    ref, tr1 = cow_pair
+    ref, tr1 = np.ascontiguousarray(ref[::10]), np.ascontiguousarray(tr1[::10])
+    single_tr = icp(ref, tr1, _cfg(), trace=True)
+    tr = icp_sharded(ref, tr1, _cfg(), mesh=mesh8, ring=True, trace=True)
+    it = int(tr.result.iters)
+    assert it == int(single_tr.result.iters)
+    np.testing.assert_allclose(
+        np.asarray(tr.errs)[:it], np.asarray(single_tr.errs)[:it], rtol=1e-9
+    )
+    plain = icp_sharded(ref, tr1, _cfg(), mesh=mesh8, ring=True)
+    np.testing.assert_allclose(
+        np.asarray(tr.result.points), np.asarray(plain.points), atol=1e-12
+    )
+    assert float(tr.errs[it - 1]) == pytest.approx(float(tr.result.err))
+
+
+def test_2d_mesh_trace(cow_pair):
+    from icp_tpu.parallel.sharded import icp_sharded_2d, make_mesh_2d
+
+    ref, tr1 = cow_pair
+    ref, tr1 = np.ascontiguousarray(ref[::10]), np.ascontiguousarray(tr1[::10])
+    mesh = make_mesh_2d(4, 2)
+    single_tr = icp(ref, tr1, _cfg(), trace=True)
+    tr = icp_sharded_2d(ref, tr1, _cfg(), mesh=mesh, trace=True)
+    it = int(tr.result.iters)
+    assert it == int(single_tr.result.iters)
+    np.testing.assert_allclose(
+        np.asarray(tr.errs)[:it], np.asarray(single_tr.errs)[:it], rtol=1e-9
+    )
