@@ -174,7 +174,7 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         # steady-state grid NN: kd-sorted (padded) scene, previous-iteration
         # bounds (what every post-first ICP iteration sees)
         grid = build_model_grid(ref)
-        p_kd, _, _, tn = _prepare_scene(ref, 256)  # converged: scene == ref
+        p_kd, _, _, tn, _ = _prepare_scene(ref, 256)  # converged: scene == ref
         prev = closest_point_indices_pallas(p_kd, ref)
         u_prev = bound_from_indices(p_kd, grid, prev)
 

@@ -183,6 +183,108 @@ def _gicp_while(
     return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "scene_tile_target", "model_tile_target",
+                     "max_candidates", "trim_fraction", "eps"),
+)
+def _gicp_grid(
+    model,
+    model_normals,
+    scene,
+    cov_s,
+    threshold,
+    *,
+    max_iter: int,
+    scene_tile_target: int = 256,
+    model_tile_target: int = 1024,
+    max_candidates: int = 16,
+    trim_fraction: float = 0.0,
+    eps: float = 1e-3,
+    init_sim=None,
+):
+    """Grid-pruned GICP loop (``nn_method="grid"``).
+
+    The model covariance is a pure function of the model normal
+    (``disk_covariances``: I - (1-eps) n n^T), so only the NORMAL rides the
+    kd tiles' spare sublanes and the winning covariance is recomputed on the
+    fly from the kernel-emitted normal — the hot loop stays gather-free with
+    no extra payload DMA.  Culling bound ``u`` is the Euclidean residual
+    (the Mahalanobis error does not bound the NN distance).
+    """
+    from icp_tpu.engine.grid import _prepare_scene
+    from icp_tpu.kernels.nn_grid import (
+        bound_from_indices,
+        build_model_grid,
+        closest_point_indices_grid,
+        initial_bound_indices,
+    )
+
+    _BIG = 3.0e38
+    dt = scene.dtype
+    interp = jax.default_backend() != "tpu"
+    n = scene.shape[0]
+    if init_sim is not None:
+        scene = apply_similarity(scene, init_sim)
+        cov_s = jnp.einsum(
+            "ij,njk,lk->nil", init_sim.R, cov_s, init_sim.R,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    grid = build_model_grid(model, target_tile=model_tile_target,
+                            payload=model_normals)
+    p0, w, inv_slots, tn, perm = _prepare_scene(scene, scene_tile_target)
+    n_pad = p0.shape[0]
+    # scene covariances ride the kd permutation; pad rows get identity
+    # (inert: weight 0 everywhere they appear)
+    eye_pad = jnp.broadcast_to(jnp.eye(3, dtype=dt), (n_pad - n, 3, 3))
+    cov0 = jnp.concatenate([cov_s, eye_pad], axis=0)[perm]
+    stride = max(1, min(16, model.shape[0] // 4))
+    idx0 = initial_bound_indices(p0, grid.model_orig, stride=stride,
+                                 interpret=interp)
+    u0 = bound_from_indices(p0, grid, idx0)
+
+    def body(carry):
+        p, cov_p, sim_tot, _, it, u = carry
+        _, y, nv, d2 = closest_point_indices_grid(
+            p, grid, u, scene_tile=tn, max_candidates=max_candidates,
+            interpret=interp,
+        )
+        y = y.astype(dt)
+        Cy = disk_covariances(nv.astype(dt), eps)
+        if trim_fraction > 0.0:
+            if p.dtype != jnp.float32:
+                d2 = jnp.sum((y - p) ** 2, axis=1)
+            q = (1.0 - trim_fraction) * (n - 1) / max(n_pad - 1, 1)
+            tau = jnp.quantile(jnp.where(w > 0, d2, _BIG), q)
+            w_eff = w * (d2 <= tau).astype(w.dtype)
+        else:
+            w_eff = w
+        sim, p_new, err = _gicp_system(p, y, Cy, cov_p, weights=w_eff)
+        cov_p = jnp.einsum(
+            "ij,njk,lk->nil", sim.R, cov_p, sim.R,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = y - p_new
+        u_next = jnp.sum(d * d, axis=1).astype(jnp.float32)
+        return p_new, cov_p, compose(sim_tot, sim), err, it + 1, u_next
+
+    init = (
+        p0,
+        cov0,
+        identity_similarity(dt) if init_sim is None else init_sim,
+        jnp.asarray(jnp.inf, dt),
+        jnp.asarray(0, jnp.int32),
+        u0,
+    )
+    p, _, sim_tot, err, it, _ = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[4] < max_iter, c[3] >= threshold),
+        body, init,
+    )
+    return ICPResult(points=p[inv_slots], transform=sim_tot, err=err,
+                     iters=it)
+
+
 def icp_generalized(
     model,
     scene,
@@ -209,9 +311,24 @@ def icp_generalized(
         model_normals = estimate_normals(model, k=normal_k)
     if scene_normals is None:
         scene_normals = estimate_normals(scene, k=normal_k)
-    cov_m = disk_covariances(jnp.asarray(model_normals, cfg.dtype), eps)
     cov_s = disk_covariances(jnp.asarray(scene_normals, cfg.dtype), eps)
     backend = jax.default_backend()
+    if cfg.resolved_nn_method(backend) == "grid":
+        return _gicp_grid(
+            model,
+            jnp.asarray(model_normals, jnp.float32),
+            scene,
+            cov_s,
+            jnp.asarray(cfg.threshold, cfg.dtype),
+            max_iter=cfg.max_iter,
+            scene_tile_target=cfg.grid_scene_tile,
+            model_tile_target=cfg.grid_model_tile,
+            max_candidates=cfg.grid_max_candidates,
+            trim_fraction=cfg.trim_fraction,
+            eps=eps,
+            init_sim=None if init is None else _cast_sim(init, cfg.dtype),
+        )
+    cov_m = disk_covariances(jnp.asarray(model_normals, cfg.dtype), eps)
     return _gicp_while(
         model,
         cov_m,

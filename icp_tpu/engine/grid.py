@@ -46,10 +46,13 @@ _BIG = 3.0e38
 
 
 def _prepare_scene(scene: jax.Array, target_tile: int):
-    """kd-sort + pad the scene; returns (p_sorted, weights, inv_slots, tn).
+    """kd-sort + pad the scene; returns
+    (p_sorted, weights, inv_slots, tn, perm).
 
     ``inv_slots[r]`` is the sorted-array slot holding original row r, so
-    ``points_sorted[inv_slots]`` restores the caller's order.
+    ``points_sorted[inv_slots]`` restores the caller's order; ``perm`` maps
+    sorted slots back to padded original rows (for permuting per-point
+    side data such as GICP covariances alongside the points).
     """
     n = scene.shape[0]
     lvl = levels_for(n, target_tile)
@@ -61,7 +64,7 @@ def _prepare_scene(scene: jax.Array, target_tile: int):
     p_sorted = s_pad[perm]
     w = (perm < n).astype(scene.dtype)
     inv_slots = jnp.argsort(perm)[:n]
-    return p_sorted, w, inv_slots, tn
+    return p_sorted, w, inv_slots, tn, perm
 
 
 def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
@@ -73,7 +76,7 @@ def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
     fused = solver == "qcp_fused"
 
     def step(p, state, u_prev):
-        _, y, d2 = closest_point_indices_grid(
+        _, y, _, d2 = closest_point_indices_grid(
             p, grid, u_prev, scene_tile=tn,
             max_candidates=max_candidates, interpret=interp,
         )
@@ -188,7 +191,7 @@ def _icp_grid(
     # One-time (hoisted out of the loop by XLA): model kd index, scene kd
     # sort, first-iteration bounds from a model subsample.
     grid = build_model_grid(model, target_tile=model_tile_target)
-    p0, w, inv_slots, tn = _prepare_scene(scene, scene_tile_target)
+    p0, w, inv_slots, tn, _ = _prepare_scene(scene, scene_tile_target)
     n_pad = p0.shape[0]
     stride = max(1, min(bound_stride, model.shape[0] // 4))
     idx0 = initial_bound_indices(p0, grid.model_orig, stride=stride,

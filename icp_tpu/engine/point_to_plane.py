@@ -78,6 +78,88 @@ def _p2pl_step(p, model, normals, *, nn_method, scene_tile, model_tile,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("max_iter", "scene_tile_target", "model_tile_target",
+                     "max_candidates"),
+)
+def _icp_p2pl_grid(
+    model,
+    normals,
+    scene,
+    threshold,
+    *,
+    max_iter: int,
+    scene_tile_target: int = 256,
+    model_tile_target: int = 1024,
+    max_candidates: int = 16,
+    init_sim=None,
+):
+    """Grid-pruned point-to-plane loop (``nn_method="grid"``).
+
+    The model normals are packed into the kd tiles' spare sublanes
+    (3 coords + 1 index + 3 normal = 7 of the 8), so the work-list kernel
+    emits the winning (point, normal) pair directly — the whole loop is
+    gather-free, same as ``engine/grid.py``.  The culling bound ``u`` is the
+    EUCLIDEAN residual ``||y - p_new||^2`` (the plane residual does not
+    bound the NN distance).
+    """
+    from icp_tpu.engine.grid import _prepare_scene
+    from icp_tpu.kernels.nn_grid import (
+        bound_from_indices,
+        build_model_grid,
+        closest_point_indices_grid,
+        initial_bound_indices,
+    )
+
+    dt = scene.dtype
+    interp = jax.default_backend() != "tpu"
+    if init_sim is not None:
+        scene = apply_similarity(scene, init_sim)
+
+    grid = build_model_grid(model, target_tile=model_tile_target,
+                            payload=normals)
+    p0, w, inv_slots, tn, _ = _prepare_scene(scene, scene_tile_target)
+    stride = max(1, min(16, model.shape[0] // 4))
+    idx0 = initial_bound_indices(p0, grid.model_orig, stride=stride,
+                                 interpret=interp)
+    u0 = bound_from_indices(p0, grid, idx0)
+
+    def body(carry):
+        p, sim_tot, _, it, u = carry
+        _, y, nv, _ = closest_point_indices_grid(
+            p, grid, u, scene_tile=tn, max_candidates=max_candidates,
+            interpret=interp,
+        )
+        y = y.astype(dt)
+        nv = nv.astype(dt)
+        r = jnp.sum(nv * (p - y), axis=1) * w
+        J = jnp.concatenate([jnp.cross(p, nv), nv], axis=1) * w[:, None]
+        A = jnp.einsum("ni,nj->ij", J, J, precision=jax.lax.Precision.HIGHEST)
+        b = jnp.einsum("ni,n->i", J, r, precision=jax.lax.Precision.HIGHEST)
+        x = -jnp.linalg.solve(A + 1e-9 * jnp.eye(6, dtype=dt), b)
+        sim = Similarity(s=jnp.asarray(1.0, dt), R=_rodrigues(x[:3]), t=x[3:])
+        p_new = apply_similarity(p, sim)
+        d = y - p_new
+        err = jnp.sum((jnp.sum(nv * d, axis=1) * w) ** 2) / jnp.sum(w)
+        u_next = jnp.sum(d * d, axis=1).astype(jnp.float32)
+        return p_new, compose(sim_tot, sim), err, it + 1, u_next
+
+    init = (
+        p0,
+        identity_similarity(dt) if init_sim is None else init_sim,
+        jnp.asarray(jnp.inf, dt),
+        jnp.asarray(0, jnp.int32),
+        u0,
+    )
+    p, sim_tot, err, it, _ = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[3] < max_iter, c[2] >= threshold),
+        body, init,
+    )
+    return ICPResult(points=p[inv_slots], transform=sim_tot, err=err,
+                     iters=it)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("max_iter", "nn_method", "scene_tile", "model_tile"),
 )
 def _icp_p2pl_while(
@@ -252,6 +334,18 @@ def icp_point_to_plane(
     else:
         normals = jnp.asarray(normals, cfg.dtype)
     backend = jax.default_backend()
+    if cfg.resolved_nn_method(backend) == "grid":
+        return _icp_p2pl_grid(
+            model,
+            normals,
+            scene,
+            jnp.asarray(cfg.threshold, cfg.dtype),
+            max_iter=cfg.max_iter,
+            scene_tile_target=cfg.grid_scene_tile,
+            model_tile_target=cfg.grid_model_tile,
+            max_candidates=cfg.grid_max_candidates,
+            init_sim=None if init is None else _cast_sim(init, cfg.dtype),
+        )
     return _icp_p2pl_while(
         model,
         normals,

@@ -51,6 +51,7 @@ the result matches brute force (``tests/oracle.py`` contract) in every case.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -116,16 +117,27 @@ class ModelGrid(NamedTuple):
 
     tiles_t: jax.Array  # (Nj, 8, tm) TRANSPOSED tiles: sublanes 0-2 coords
     #                     (padding at 1e17), sublane 3 = ORIGINAL index as
-    #                     f32 (exact below 2^24); points on lanes so an HBM
-    #                     tile-slice DMA is (8, tm) and lane-aligned
+    #                     f32 (exact below 2^24), sublanes 4..4+k = optional
+    #                     per-point payload (e.g. normals, k <= 4); points on
+    #                     lanes so an HBM tile-slice DMA is (8, tm) and
+    #                     lane-aligned
     tile_lo: jax.Array  # (Nj, 3) per-tile bbox minima (real rows only)
     tile_hi: jax.Array  # (Nj, 3)
     model_orig: jax.Array  # (M, 3) f32 original-order model (u-bound gathers)
     model_tile: int
+    payload_orig: jax.Array | None = None  # (M, k) original-order payload
+    #                                        (dense-fallback gathers)
 
 
-def build_model_grid(model: jax.Array, *, target_tile: int = 1024) -> ModelGrid:
-    """kd-sort the model and precompute per-tile bboxes."""
+def build_model_grid(model: jax.Array, *, target_tile: int = 1024,
+                     payload: jax.Array | None = None) -> ModelGrid:
+    """kd-sort the model and precompute per-tile bboxes.
+
+    ``payload``: optional (M, k) per-point values (k <= 4, e.g. surface
+    normals for point-to-plane) packed into the spare tile sublanes — the
+    work-list kernel then emits the winning payload alongside the matched
+    point, keeping the hot loop gather-free.
+    """
     m = model.shape[0]
     if m >= 2**24:
         raise ValueError(
@@ -147,6 +159,13 @@ def build_model_grid(model: jax.Array, *, target_tile: int = 1024) -> ModelGrid:
 
     buf = jnp.zeros((m_pad, _COORD_LANES), dt).at[:, :3].set(sorted_pts)
     buf = buf.at[:, 3].set(jnp.where(real, perm.astype(dt), _BIG))
+    if payload is not None:
+        k = payload.shape[1]
+        assert k <= _COORD_LANES - 4, (
+            f"payload width {k} exceeds the {_COORD_LANES - 4} spare sublanes"
+        )
+        pl_pad = jnp.zeros((m_pad, k), dt).at[:m].set(payload.astype(dt))
+        buf = buf.at[:, 4:4 + k].set(pl_pad[perm])
 
     tiled = sorted_pts.reshape(n_tiles, tm, 3)
     r3 = real.reshape(n_tiles, tm)[:, :, None]
@@ -160,6 +179,7 @@ def build_model_grid(model: jax.Array, *, target_tile: int = 1024) -> ModelGrid:
         tile_hi=tile_hi,
         model_orig=model,
         model_tile=tm,
+        payload_orig=None if payload is None else payload.astype(dt),
     )
 
 
@@ -210,10 +230,14 @@ def _candidates(p_pad, u_pad, grid: ModelGrid, *, scene_tile: int, cap: int):
     return cand, counts, overflow
 
 
-def _pruned_kernel(cand_ref, cnt_ref, p_ref, model_hbm, dist_ref, idx_ref,
-                   y0_ref, y1_ref, y2_ref, scratch, sems):
+def _pruned_kernel(emit_subl, cand_ref, cnt_ref, p_ref, model_hbm, dist_ref,
+                   idx_ref, *rest):
     """One grid step = ONE scene tile: fold its (dynamic) candidate count of
     model tiles, each DMA-ed HBM->VMEM on demand with double buffering.
+
+    ``emit_subl``: static tuple of tile sublanes whose winning-lane values
+    the kernel emits (0-2 = matched point coords; 4+ = packed payload, e.g.
+    normals).  ``rest`` = len(emit_subl) output refs + scratch + DMA sems.
 
     Design notes (both measured at horse scale):
       * a two-level (Ni, C) grid with ``pl.when``-gated folds spent ~90% of
@@ -224,6 +248,8 @@ def _pruned_kernel(cand_ref, cnt_ref, p_ref, model_hbm, dist_ref, idx_ref,
         operand moved ~100 MB/iteration regardless of counts (grid NN only
         1.4x over dense); the in-kernel DMA moves sum(counts) tiles.
     """
+    out_refs = rest[:len(emit_subl)]
+    scratch, sems = rest[len(emit_subl):]
     tn = p_ref.shape[0]
     tm = scratch.shape[2]
     # This step's row inside the (8, cap) SMEM window (Mosaic requires the
@@ -274,7 +300,7 @@ def _pruned_kernel(cand_ref, cnt_ref, p_ref, model_hbm, dist_ref, idx_ref,
                           jnp.float32(_BIG)),
                 axis=1, keepdims=True,
             )
-            for k in range(3)
+            for k in emit_subl
         )
         better = jnp.logical_or(
             local_min < best_d,
@@ -289,14 +315,13 @@ def _pruned_kernel(cand_ref, cnt_ref, p_ref, model_hbm, dist_ref, idx_ref,
     init = (
         jnp.full((tn, 1), jnp.float32(_BIG)),
         jnp.full((tn, 1), jnp.float32(_BIG)),
-        (jnp.zeros((tn, 1), jnp.float32),) * 3,
+        (jnp.zeros((tn, 1), jnp.float32),) * len(emit_subl),
     )
     best_d, best_i, best_y = jax.lax.fori_loop(0, cnt, fold, init)
     dist_ref[:] = best_d
     idx_ref[:] = best_i
-    y0_ref[:] = best_y[0]
-    y1_ref[:] = best_y[1]
-    y2_ref[:] = best_y[2]
+    for ref, val in zip(out_refs, best_y):
+        ref[:] = val
 
 
 def bound_from_indices(scene: jax.Array, grid: ModelGrid,
@@ -323,7 +348,7 @@ def closest_point_indices_pruned(
     interpret: bool | None = None,
 ):
     """Exact NN via tile culling; returns (indices, matched points,
-    squared distances, overflow).
+    payload-or-None, squared distances, overflow).
 
     ``u``: (N,) f32 upper bounds on each point's squared NN distance (the
     previous iteration's residual ``||y - p_new||^2``, or
@@ -374,8 +399,11 @@ def closest_point_indices_pruned(
         cand = jnp.pad(cand, ((0, ni8 - ni), (0, 0)))
         counts_k = jnp.pad(counts_k, ((0, ni8 - ni), (0, 0)))
 
+    k_pl = 0 if grid.payload_orig is None else grid.payload_orig.shape[1]
+    emit_subl = tuple(range(3)) + tuple(range(4, 4 + k_pl))
+    n_out = 2 + len(emit_subl)
     vals = pl.pallas_call(
-        _pruned_kernel,
+        functools.partial(_pruned_kernel, emit_subl),
         grid=(ni,),
         in_specs=[
             # (8, cap) SMEM row-window of the candidate table (kernel reads
@@ -394,10 +422,10 @@ def closest_point_indices_pruned(
         ],
         out_specs=[
             pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-            for _ in range(5)
+            for _ in range(n_out)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), dt) for _ in range(5)
+            jax.ShapeDtypeStruct((n_pad, 1), dt) for _ in range(n_out)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, _COORD_LANES, tm), jnp.float32),
@@ -405,9 +433,13 @@ def closest_point_indices_pruned(
         ],
         interpret=interpret,
     )(cand, counts_k, p_pad.reshape(ni, tn, _COORD_LANES), grid.tiles_t)
-    dist, idx_f, y0, y1, y2 = vals
-    y = jnp.concatenate([y0[:n], y1[:n], y2[:n]], axis=1)
-    return idx_f[:n, 0].astype(jnp.int32), y, dist[:n, 0], overflow
+    dist, idx_f = vals[0], vals[1]
+    y = jnp.concatenate([v[:n] for v in vals[2:5]], axis=1)
+    pl_out = (
+        None if k_pl == 0
+        else jnp.concatenate([v[:n] for v in vals[5:]], axis=1)
+    )
+    return idx_f[:n, 0].astype(jnp.int32), y, pl_out, dist[:n, 0], overflow
 
 
 def closest_point_indices_grid(
@@ -420,7 +452,10 @@ def closest_point_indices_grid(
     interpret: bool | None = None,
 ):
     """Exact NN with automatic dense fallback on candidate-table overflow;
-    returns (indices, matched model points, squared distances).
+    returns (indices, matched model points, payload-or-None, squared
+    distances).  The payload slot carries the winning rows of the (M, k)
+    values packed at ``build_model_grid(payload=...)`` time (None when the
+    grid has no payload).
 
     Always identical to brute force (``tests/oracle.py`` contract: squared
     distance, lowest-original-index ties).  The distances use the same
@@ -430,7 +465,7 @@ def closest_point_indices_grid(
     """
     from icp_tpu.kernels.nn_pallas import closest_point_with_distances_pallas
 
-    idx, y, d2, overflow = closest_point_indices_pruned(
+    idx, y, pl_out, d2, overflow = closest_point_indices_pruned(
         scene, grid, u,
         scene_tile=scene_tile, max_candidates=max_candidates,
         interpret=interpret,
@@ -441,6 +476,10 @@ def closest_point_indices_grid(
             scene, grid.model_orig, scene_tile=256, model_tile=4096,
             interpret=interpret,
         )
-        return idx_d, jnp.take(grid.model_orig, idx_d, axis=0), d2_d
+        pl_d = (
+            None if grid.payload_orig is None
+            else jnp.take(grid.payload_orig, idx_d, axis=0)
+        )
+        return idx_d, jnp.take(grid.model_orig, idx_d, axis=0), pl_d, d2_d
 
-    return jax.lax.cond(overflow, dense, lambda iyd: iyd, (idx, y, d2))
+    return jax.lax.cond(overflow, dense, lambda x: x, (idx, y, pl_out, d2))

@@ -104,7 +104,7 @@ def _ring_correspond_grid(p_loc, u, grid_arrays, *, tm: int, axis: str,
                       model_orig=m_orig, model_tile=tm)
         # cull bound: both the cross-hop running best and the caller's bound
         # are achieved distances to real model points — exact upper bounds.
-        idx, y, d2 = closest_point_indices_grid(
+        idx, y, _, d2 = closest_point_indices_grid(
             p_loc, g, jnp.minimum(best_d, u), scene_tile=scene_tile,
             max_candidates=max_candidates, interpret=interpret,
         )

@@ -95,3 +95,50 @@ def test_gicp_beats_point_to_point_on_disjoint_sampling(rng):
     err_p = np.abs(np.asarray(p2pt.transform.t) - t).max()
     assert err_g < 2e-3, (err_g, err_p)
     assert err_g < err_p / 3, (err_g, err_p)
+
+
+def test_gicp_grid_matches_dense(rng):
+    # nn_method="grid": model normals ride the kd-tile sublanes, Cy is
+    # recomputed from the emitted normal — must reproduce the dense GICP
+    # engine (identical correspondences; f32 payload tolerance)
+    from icp_tpu.ops.normals import estimate_normals
+
+    model = _wavy_surface(rng, 1300)
+    R, t = _small_rigid(rng)
+    scene = (model[:900] - t) @ R
+    mn = estimate_normals(jnp.asarray(model, jnp.float64), k=12)
+    sn = estimate_normals(jnp.asarray(scene, jnp.float64), k=12)
+    # threshold above the grid engine's f32-payload error floor: the f32
+    # matched point/normal quantization (~1e-8) squared and amplified by the
+    # 1/eps Mahalanobis weight floors err at ~1e-14 (trajectory identical:
+    # both engines log 1.693e-3, 1.416e-9, <=1.5e-14)
+    base = dict(max_iter=30, dtype=jnp.float64, validate_inputs=False,
+                threshold=1e-12)
+    dense = icp_generalized(
+        model, scene, ICPConfig(nn_method="bcast", **base),
+        model_normals=mn, scene_normals=sn)
+    grid = icp_generalized(
+        model, scene,
+        ICPConfig(nn_method="grid", grid_model_tile=128, grid_scene_tile=64,
+                  **base),
+        model_normals=mn, scene_normals=sn)
+    assert int(grid.iters) == int(dense.iters)
+    np.testing.assert_allclose(np.asarray(grid.points),
+                               np.asarray(dense.points), atol=1e-5)
+
+
+def test_gicp_grid_trimmed_rejects_outliers(rng):
+    from icp_tpu.ops.normals import estimate_normals
+
+    model = _wavy_surface(rng, 800)
+    R, t = _small_rigid(rng)
+    scene = (model[:600] - t) @ R
+    scene = np.asarray(scene).copy()
+    scene[::10] += 4.0  # 10% gross outliers
+    cfg = ICPConfig(max_iter=40, dtype=jnp.float64, nn_method="grid",
+                    grid_model_tile=128, grid_scene_tile=64,
+                    validate_inputs=False, threshold=1e-14,
+                    trim_fraction=0.2)
+    res = icp_generalized(model, scene, cfg)
+    np.testing.assert_allclose(np.asarray(res.transform.R), R, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.transform.t), t, atol=1e-3)

@@ -52,7 +52,7 @@ def test_pruned_matches_oracle_with_fallback(rng, n, m):
     grid = build_model_grid(jnp.asarray(model), target_tile=128)
     prev = initial_bound_indices(jnp.asarray(scene), jnp.asarray(model), stride=8)
     u = bound_from_indices(jnp.asarray(scene), grid, prev)
-    idx, y, d2 = closest_point_indices_grid(
+    idx, y, _, d2 = closest_point_indices_grid(
         jnp.asarray(scene), grid, u, scene_tile=64, max_candidates=16
     )
     want = _oracle_nn(scene, model)
@@ -77,7 +77,7 @@ def test_pruned_exact_when_not_overflowing(rng):
     u = bound_from_indices(
         jnp.asarray(s), grid, jnp.asarray(oracle[perm], jnp.int32)
     )
-    idx, y, _, overflow = closest_point_indices_pruned(
+    idx, y, _, _, overflow = closest_point_indices_pruned(
         jnp.asarray(s), grid, u, scene_tile=125, max_candidates=16,
     )
     assert not bool(overflow), "expected no overflow with tight bounds"
@@ -94,7 +94,7 @@ def test_pruned_tie_break_lowest_original_index(rng):
     grid = build_model_grid(jnp.asarray(model), target_tile=128)
     prev = initial_bound_indices(jnp.asarray(scene), jnp.asarray(model), stride=4)
     u = bound_from_indices(jnp.asarray(scene), grid, prev)
-    idx, _, _ = closest_point_indices_grid(
+    idx, _, _, _ = closest_point_indices_grid(
         jnp.asarray(scene), grid, u, scene_tile=32, max_candidates=32
     )
     np.testing.assert_array_equal(np.asarray(idx), _oracle_nn(scene, model))
@@ -144,3 +144,29 @@ def test_icp_grid_matches_dense_trace(cow_pair):
     np.testing.assert_allclose(
         np.asarray(a.errs), np.asarray(b.errs), rtol=1e-4, atol=1e-11
     )
+
+
+def test_payload_emission_matches_gather(rng):
+    # normals packed in spare sublanes: kernel-emitted winning payload must
+    # equal an explicit gather by the winning index, through both the pruned
+    # path and the dense fallback
+    model = _sphere(700, seed=9)
+    payload = rng.standard_normal((700, 3)).astype(np.float32)
+    scene = _sphere(300, seed=10) * 1.01
+    grid = build_model_grid(jnp.asarray(model), target_tile=128,
+                            payload=jnp.asarray(payload))
+    prev = initial_bound_indices(jnp.asarray(scene), jnp.asarray(model), stride=8)
+    u = bound_from_indices(jnp.asarray(scene), grid, prev)
+    idx, y, pl, d2 = closest_point_indices_grid(
+        jnp.asarray(scene), grid, u, scene_tile=64, max_candidates=16
+    )
+    want = _oracle_nn(scene, model)
+    np.testing.assert_array_equal(np.asarray(idx), want)
+    np.testing.assert_array_equal(np.asarray(pl), payload[want])
+    # force the dense fallback: infinite bounds + cap=1 guarantee overflow
+    idx2, y2, pl2, _ = closest_point_indices_grid(
+        jnp.asarray(scene), grid, jnp.full((300,), 3.0e38, jnp.float32),
+        scene_tile=64, max_candidates=1,
+    )
+    np.testing.assert_array_equal(np.asarray(idx2), want)
+    np.testing.assert_array_equal(np.asarray(pl2), payload[want])

@@ -112,3 +112,27 @@ def test_point_to_plane_sharded_matches_single(rng):
     assert int(sharded.iters) == int(single.iters)
     np.testing.assert_allclose(np.asarray(sharded.points),
                                np.asarray(single.points), atol=1e-8)
+
+
+def test_point_to_plane_grid_matches_dense(rng):
+    # nn_method="grid" packs normals into the kd tiles' spare sublanes and
+    # emits winning (point, normal) pairs from the kernel — must reproduce
+    # the dense p2pl engine (same correspondences, f32-payload tolerance)
+    from icp_tpu.ops.normals import estimate_normals
+
+    model = _wavy_surface(rng, 1100)
+    R, t = _small_rigid(rng)
+    scene = (model[:800] - t) @ R
+    normals = estimate_normals(jnp.asarray(model, jnp.float64), k=12)
+    base = dict(max_iter=25, dtype=jnp.float64, validate_inputs=False,
+                threshold=1e-14)
+    dense = icp_point_to_plane(
+        model, scene, ICPConfig(nn_method="bcast", **base), normals=normals)
+    grid = icp_point_to_plane(
+        model, scene,
+        ICPConfig(nn_method="grid", grid_model_tile=128, grid_scene_tile=64,
+                  **base),
+        normals=normals)
+    assert int(grid.iters) == int(dense.iters)
+    np.testing.assert_allclose(np.asarray(grid.points),
+                               np.asarray(dense.points), atol=1e-5)
