@@ -197,6 +197,23 @@ def initial_bound_indices(scene: jax.Array, model: jax.Array, *,
     return sub_idx * stride
 
 
+def tile_box_dists(p_pad, grid: ModelGrid, *, scene_tile: int):
+    """(Ni, Nj) deflated squared box-box distances: scene-tile bbox to every
+    model-tile bbox (a lower bound on any point-pair distance between them,
+    through f32 rounding)."""
+    tn = scene_tile
+    ni = p_pad.shape[0] // tn
+    tiles = p_pad[:, :3].reshape(ni, tn, 3)
+    s_lo = jnp.min(tiles, axis=1)  # (Ni, 3)
+    s_hi = jnp.max(tiles, axis=1)
+    gap = jnp.maximum(
+        grid.tile_lo[None, :, :] - s_hi[:, None, :],
+        s_lo[:, None, :] - grid.tile_hi[None, :, :],
+    )
+    gap = jnp.maximum(gap, 0.0)
+    return jnp.sum(gap * gap, axis=-1) * _LOWER_DEFLATE
+
+
 def _candidates(p_pad, u_pad, grid: ModelGrid, *, scene_tile: int, cap: int):
     """Per-scene-tile candidate model tiles: (Ni, C) ids (ascending j,
     sentinel 0 past the count), (Ni,) counts, overflow flag."""
@@ -205,18 +222,8 @@ def _candidates(p_pad, u_pad, grid: ModelGrid, *, scene_tile: int, cap: int):
     ni = n_pad // tn
     nj = grid.tile_lo.shape[0]
 
-    tiles = p_pad[:, :3].reshape(ni, tn, 3)
-    s_lo = jnp.min(tiles, axis=1)  # (Ni, 3)
-    s_hi = jnp.max(tiles, axis=1)
     u_tile = jnp.max(u_pad.reshape(ni, tn), axis=1) * _UPPER_INFLATE  # (Ni,)
-
-    # box-box squared distance, (Ni, Nj)
-    gap = jnp.maximum(
-        grid.tile_lo[None, :, :] - s_hi[:, None, :],
-        s_lo[:, None, :] - grid.tile_hi[None, :, :],
-    )
-    gap = jnp.maximum(gap, 0.0)
-    bd2 = jnp.sum(gap * gap, axis=-1) * _LOWER_DEFLATE
+    bd2 = tile_box_dists(p_pad, grid, scene_tile=tn)  # (Ni, Nj)
 
     mask = bd2 <= u_tile[:, None]
     counts = jnp.sum(mask, axis=1).astype(jnp.int32)  # (Ni,)

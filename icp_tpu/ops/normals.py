@@ -70,9 +70,15 @@ def normals_from_neighbor_indices(points: jax.Array, idx: jax.Array) -> jax.Arra
     return _smallest_eigvec_sym3(C)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=(
+    "k", "chunk", "method", "grid_scene_tile", "grid_model_tile",
+    "grid_max_candidates"))
 def estimate_normals(points: jax.Array, *, k: int = 16,
-                     chunk: int | None = None) -> jax.Array:
+                     chunk: int | None = None,
+                     method: str = "auto",
+                     grid_scene_tile: int = 64,
+                     grid_model_tile: int = 256,
+                     grid_max_candidates: int = 32) -> jax.Array:
     """(N, 3) cloud -> (N, 3) unit normals from k-nearest-neighbor PCA.
 
     Neighbors come from the fused kNN Pallas kernel (exact f32 distances;
@@ -80,15 +86,38 @@ def estimate_normals(points: jax.Array, *, k: int = 16,
     Orientation is arbitrary (point-to-plane residuals are squared; flip with
     ``orient_normals`` if a consistent orientation is needed).
 
-    ``chunk`` is accepted for back-compatibility and ignored (the old
-    chunked ``top_k`` formulation it tuned is gone).
+    ``method``: ``"dense"`` (tiled O(N^2) kernel), ``"grid"`` (kd-tile
+    pruned ``kernels/knn_grid.py`` — same exact result, the at-scale path),
+    or ``"auto"`` (grid from 16k points).  ``chunk`` is accepted for
+    back-compatibility and ignored (the old chunked ``top_k`` formulation it
+    tuned is gone).
     """
     del chunk
-    from icp_tpu.kernels.knn_pallas import knn_pallas
-
     n = points.shape[0]
     k_eff = min(k + 1, n)  # +1: the point itself is its own nearest neighbor
-    _, idx = knn_pallas(points, points, k_eff)
+    if method == "auto":
+        method = "grid" if n >= 16384 else "dense"
+    if method == "grid":
+        from icp_tpu.engine.grid import _prepare_scene
+        from icp_tpu.kernels.knn_grid import knn_grid
+        from icp_tpu.kernels.nn_grid import build_model_grid
+
+        pts32 = points.astype(jnp.float32)
+        # Smaller tiles than the correspondence path: kNN culls with a
+        # per-scene-tile MAX k-th-distance bound, which only stays tight
+        # over few queries; and candidate counts are in tile units, so
+        # small model tiles keep counts*tm (the folded work) low.
+        grid = build_model_grid(pts32, target_tile=grid_model_tile)
+        # kd-sort the queries for tile coherence; un-permute the result rows
+        # (the returned idx VALUES are already original indices)
+        p_sorted, _, inv_slots, tn, _ = _prepare_scene(pts32, grid_scene_tile)
+        _, idx_sorted = knn_grid(p_sorted, grid, k_eff, scene_tile=tn,
+                                 max_candidates=grid_max_candidates)
+        idx = idx_sorted[inv_slots]
+    else:
+        from icp_tpu.kernels.knn_pallas import knn_pallas
+
+        _, idx = knn_pallas(points, points, k_eff)
     return normals_from_neighbor_indices(points, idx)
 
 

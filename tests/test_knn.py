@@ -1,5 +1,6 @@
 """kNN Pallas kernel: oracle parity, ties, ragged shapes (SURVEY.md §4b)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -57,3 +58,53 @@ def test_normals_use_knn_kernel(rng):
     pts = np.column_stack([xy, 1e-3 * rng.standard_normal(300)])
     n = np.asarray(estimate_normals(jnp.asarray(pts, jnp.float32), k=12))
     assert np.all(np.abs(n[:, 2]) > 0.99)
+
+
+def test_knn_grid_matches_dense(rng):
+    from icp_tpu.kernels.knn_grid import knn_grid
+    from icp_tpu.kernels.nn_grid import build_model_grid
+
+    pts = rng.standard_normal((1500, 3)).astype(np.float32)
+    query = rng.standard_normal((700, 3)).astype(np.float32) * 0.9
+    grid = build_model_grid(jnp.asarray(pts), target_tile=128)
+    q = jnp.asarray(query)
+    d_g, i_g = knn_grid(q, grid, 8, scene_tile=64, max_candidates=16)
+    d_d, i_d = knn_pallas(q, jnp.asarray(pts), 8)
+    np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_d))
+    np.testing.assert_allclose(np.asarray(d_g), np.asarray(d_d), rtol=1e-6)
+
+
+def test_knn_grid_tie_break(rng):
+    from icp_tpu.kernels.knn_grid import knn_grid
+    from icp_tpu.kernels.nn_grid import build_model_grid
+
+    base = rng.standard_normal((300, 3)).astype(np.float32)
+    pts = np.concatenate([base, base], axis=0)  # exact duplicates
+    grid = build_model_grid(jnp.asarray(pts), target_tile=128)
+    q = jnp.asarray(base[:64])
+    d_g, i_g = knn_grid(q, grid, 6, scene_tile=32, max_candidates=32)
+    d_d, i_d = knn_pallas(q, jnp.asarray(pts), 6)
+    np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_d))
+
+
+def test_knn_grid_overflow_falls_back_dense(rng):
+    from icp_tpu.kernels.knn_grid import knn_grid
+    from icp_tpu.kernels.nn_grid import build_model_grid
+
+    pts = rng.standard_normal((600, 3)).astype(np.float32)
+    grid = build_model_grid(jnp.asarray(pts), target_tile=128)
+    q = jnp.asarray(rng.standard_normal((100, 3)).astype(np.float32))
+    # cap=1 guarantees phase-2 overflow -> dense fallback, still exact
+    d_g, i_g = knn_grid(q, grid, 5, scene_tile=32, max_candidates=1)
+    d_d, i_d = knn_pallas(q, jnp.asarray(pts), 5)
+    np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_d))
+
+
+def test_estimate_normals_grid_matches_dense(rng):
+    from icp_tpu.ops.normals import estimate_normals
+
+    pts = rng.standard_normal((900, 3)).astype(np.float32)
+    a = np.asarray(estimate_normals(jnp.asarray(pts), k=12, method="dense"))
+    b = np.asarray(estimate_normals(jnp.asarray(pts), k=12, method="grid"))
+    # same neighbor sets -> same covariances -> same normals (sign-exact)
+    np.testing.assert_allclose(a, b, atol=1e-6)
