@@ -7,7 +7,7 @@ the component-by-component mapping and docs/ for the architecture.
 
 from icp_tpu.config import ICPConfig
 from icp_tpu.engine.batched import icp_batched
-from icp_tpu.engine.gicp import icp_generalized
+from icp_tpu.engine.gicp import icp_generalized, icp_generalized_sharded
 from icp_tpu.engine.icp import ICPResult, ICPTrace, icp, icp_fixed_iters, icp_step
 from icp_tpu.engine.point_to_plane import (
     icp_point_to_plane,
@@ -53,6 +53,7 @@ __all__ = [
     "icp",
     "icp_batched",
     "icp_generalized",
+    "icp_generalized_sharded",
     "icp_point_to_plane",
     "icp_point_to_plane_sharded",
     "estimate_normals",

@@ -9,7 +9,7 @@ Same outer loop as ``engine/icp.py`` (one jitted ``lax.while_loop``; reference
   * the loop carry additionally holds ``u`` — each point's squared residual
     to its previous matched point (computed as a byproduct of the error
     term), which upper-bounds its current NN distance and lets the work-list
-    kernel cull model tiles (exact, with dense fallback on overflow).
+    kernel cull model tiles (exact; overflowing tiles fold everything).
     Carrying the bound VALUE rather than the matched index keeps row gathers
     out of the loop (~440 us each at horse scale, measured); the matched
     points themselves come straight out of the NN kernel;

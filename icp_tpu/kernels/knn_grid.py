@@ -13,14 +13,17 @@ Two-phase bound scheme (kNN has no previous-iteration bound to carry):
      bbox distance).  The per-point k-th best distance from REAL points is a
      valid upper bound on the true k-th NN distance.
   2. **Cull + exact pass**: a model tile survives only if its bbox distance
-     beats the query tile's max seed bound; fold the survivors.  Overflow of
-     the candidate table falls back to the dense kernel (exactness never
-     depends on the bounds).
+     beats the query tile's max seed bound; fold the survivors.  A query
+     tile whose candidate count exceeds the table capacity folds ALL model
+     tiles in-kernel — a per-tile fallback, so one unlucky tile (e.g. an
+     isolated point with a huge k-th-NN ball) degrades only itself, not the
+     whole pass (a global dense fallback cost 30x on a 1M cloud where one
+     tile overflowed — measured).
 
 Exactness: every true k-nearest neighbor lies in a tile whose bbox distance
 is <= the true k-th distance <= the seed bound; deflate/inflate margins
-absorb f32 rounding.  Ties resolve to the lowest ORIGINAL index —
-``knn_pallas``'s contract (tests pin equality).
+absorb f32 rounding; the overflow path folds a superset.  Ties resolve to
+the lowest ORIGINAL index — ``knn_pallas``'s contract (tests pin equality).
 
 No reference counterpart (the reference has no kNN anywhere).
 """
@@ -47,20 +50,30 @@ _BIG = 3.0e38
 _INT_MAX = 2**31 - 1
 
 
-def _knn_worklist_kernel(k, cand_ref, cnt_ref, q_ref, model_hbm, dist_ref,
+def _knn_worklist_kernel(k, nj, cand_ref, cnt_ref, q_ref, model_hbm, dist_ref,
                          idx_ref, scratch, sems):
     """One grid step = ONE query tile: fold its candidate model tiles with a
     (TN, K) k-best carry, DMA-ing each tile HBM->VMEM with double buffering
     (same structure as ``nn_grid._pruned_kernel``; same (8, cap) SMEM
-    candidate window)."""
+    candidate window).
+
+    Per-tile overflow fallback: a query tile whose candidate count exceeds
+    the table capacity folds ALL ``nj`` model tiles (ids = step index) — a
+    superset of its candidates, so still exact.  Only the unlucky tile pays;
+    a global dense fallback cost 30x on a 1M cloud where ONE tile
+    overflowed (measured)."""
     tn = q_ref.shape[0]
     tm = scratch.shape[2]
+    cap = cand_ref.shape[1]
     r = jax.lax.rem(pl.program_id(0), jnp.int32(8))
-    cnt = jnp.maximum(cnt_ref[r, 0], 1)
+    cnt_raw = cnt_ref[r, 0]
+    use_all = cnt_raw > cap
+    cnt = jnp.where(use_all, jnp.int32(nj), jnp.maximum(cnt_raw, 1))
 
     def get_dma(slot, c):
+        tile = jnp.where(use_all, c, cand_ref[r, jnp.minimum(c, cap - 1)])
         return pltpu.make_async_copy(
-            model_hbm.at[cand_ref[r, c]],
+            model_hbm.at[tile],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -106,12 +119,13 @@ def _run_worklist(q_pad, cand, counts_k, grid: ModelGrid, k: int, *,
     ni = n_pad // tn
     cap = cand.shape[1]
     tm = grid.model_tile
+    nj = grid.tile_lo.shape[0]
     ni8 = _round_up(ni, 8)
     if ni8 > ni:
         cand = jnp.pad(cand, ((0, ni8 - ni), (0, 0)))
         counts_k = jnp.pad(counts_k, ((0, ni8 - ni), (0, 0)))
     return pl.pallas_call(
-        functools.partial(_knn_worklist_kernel, k),
+        functools.partial(_knn_worklist_kernel, k, nj),
         grid=(ni,),
         in_specs=[
             pl.BlockSpec((8, cap), lambda i: (i // 8, 0),
@@ -151,12 +165,11 @@ def knn_grid(
 
     Returns ``(d2, idx)``: (N, k) squared distances and ORIGINAL model
     indices, ascending by (distance, index) — identical to
-    ``knn_pallas(query, grid.model_orig, k)`` (dense fallback on candidate
-    overflow guarantees it).  ``query`` should be spatially coherent
+    ``knn_pallas(query, grid.model_orig, k)`` (query tiles whose candidate
+    set overflows the table fold every model tile in-kernel, so the result
+    is exact regardless).  ``query`` should be spatially coherent
     (kd-sorted) for pruning to bite; correctness never depends on it.
     """
-    from icp_tpu.kernels.knn_pallas import knn_pallas
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = query.shape[0]
@@ -181,7 +194,7 @@ def knn_grid(
 
     # Phase 1 — seed bounds: the C0 nearest tiles must hold >= k real points
     # for the bound to be finite-tight (a shortfall only loosens the bound
-    # and at worst triggers the dense fallback via overflow).
+    # and at worst triggers the per-tile fold-everything path).
     c0 = min(nj, max(2, -(-k // tm) + 1))
     order = jnp.argsort(bd2, axis=1)[:, :c0].astype(jnp.int32)  # (Ni, C0)
     counts0 = jnp.full((ni, 1), c0, jnp.int32)
@@ -190,23 +203,17 @@ def knn_grid(
     u = d_seed[:, k - 1] * _UPPER_INFLATE  # (n_pad,) per-point k-th bound
 
     # Phase 2 — cull with the per-tile max bound, then the exact pass.
+    # Raw (unclamped) counts go to the kernel: a row whose count exceeds
+    # the table capacity folds ALL tiles in-kernel (per-tile fallback).
     cap = min(max_candidates, nj)
     u_tile = jnp.max(u.reshape(ni, tn), axis=1)  # (Ni,)
     mask = bd2 <= u_tile[:, None]
-    counts = jnp.sum(mask, axis=1).astype(jnp.int32)
-    overflow = jnp.any(counts > cap)
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)[:, None]
     col = jnp.broadcast_to(jnp.arange(nj, dtype=jnp.int32)[None, :], mask.shape)
     keys = jnp.where(mask, col, jnp.int32(nj))
     keys = jax.lax.sort(keys, dimension=1)[:, :cap]
     cand = jnp.where(keys < nj, keys, 0)
-    counts_k = jnp.minimum(counts, cap)[:, None]
 
-    d_full, i_full = _run_worklist(q_pad, cand, counts_k, grid, k,
+    d_full, i_full = _run_worklist(q_pad, cand, counts, grid, k,
                                    scene_tile=tn, interpret=interpret)
-
-    def dense(_):
-        return knn_pallas(query, grid.model_orig, k, interpret=interpret)
-
-    return jax.lax.cond(
-        overflow, dense, lambda di: di, (d_full[:n], i_full[:n])
-    )
+    return d_full[:n], i_full[:n]

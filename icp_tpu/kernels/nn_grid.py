@@ -237,14 +237,18 @@ def _candidates(p_pad, u_pad, grid: ModelGrid, *, scene_tile: int, cap: int):
     return cand, counts, overflow
 
 
-def _pruned_kernel(emit_subl, cand_ref, cnt_ref, p_ref, model_hbm, dist_ref,
-                   idx_ref, *rest):
+def _pruned_kernel(emit_subl, nj, cand_ref, cnt_ref, p_ref, model_hbm,
+                   dist_ref, idx_ref, *rest):
     """One grid step = ONE scene tile: fold its (dynamic) candidate count of
     model tiles, each DMA-ed HBM->VMEM on demand with double buffering.
 
     ``emit_subl``: static tuple of tile sublanes whose winning-lane values
     the kernel emits (0-2 = matched point coords; 4+ = packed payload, e.g.
     normals).  ``rest`` = len(emit_subl) output refs + scratch + DMA sems.
+
+    Per-tile overflow fallback: a scene tile whose candidate count exceeds
+    the table capacity folds ALL ``nj`` model tiles (ids = step index) — a
+    superset of its candidates, exact; only the unlucky tile pays.
 
     Design notes (both measured at horse scale):
       * a two-level (Ni, C) grid with ``pl.when``-gated folds spent ~90% of
@@ -259,17 +263,21 @@ def _pruned_kernel(emit_subl, cand_ref, cnt_ref, p_ref, model_hbm, dist_ref,
     scratch, sems = rest[len(emit_subl):]
     tn = p_ref.shape[0]
     tm = scratch.shape[2]
+    cap = cand_ref.shape[1]
     # This step's row inside the (8, cap) SMEM window (Mosaic requires the
     # sublane block dim divisible by 8; a whole-table window hits the 1 MB
     # SMEM limit at 1M points — each SMEM scalar pads to 32 B).
     r = jax.lax.rem(pl.program_id(0), jnp.int32(8))
+    cnt_raw = cnt_ref[r, 0]
+    use_all = cnt_raw > cap
     # counts >= 1 by construction (the previous-match tile always passes the
     # cull); clamp anyway so the warm-up DMA is always legal and waited.
-    cnt = jnp.maximum(cnt_ref[r, 0], 1)
+    cnt = jnp.where(use_all, jnp.int32(nj), jnp.maximum(cnt_raw, 1))
 
     def get_dma(slot, c):
+        tile = jnp.where(use_all, c, cand_ref[r, jnp.minimum(c, cap - 1)])
         return pltpu.make_async_copy(
-            model_hbm.at[cand_ref[r, c]],  # (8, tm) slice of (Nj, 8, tm)
+            model_hbm.at[tile],  # (8, tm) slice of (Nj, 8, tm)
             scratch.at[slot],
             sems.at[slot],
         )
@@ -359,9 +367,10 @@ def closest_point_indices_pruned(
 
     ``u``: (N,) f32 upper bounds on each point's squared NN distance (the
     previous iteration's residual ``||y - p_new||^2``, or
-    ``bound_from_indices`` on the first iteration).  On overflow the caller
-    must recompute with the dense kernel (``lax.cond``); the returned values
-    are only exact when ``overflow`` is False.  ``scene`` should be spatially
+    ``bound_from_indices`` on the first iteration).  The result is ALWAYS
+    exact: a scene tile whose candidate count exceeds the table capacity
+    folds every model tile in-kernel (per-tile fallback); ``overflow`` is
+    informational (True when any tile did).  ``scene`` should be spatially
     coherent (engine: kd-sorted once) for pruning to bite; correctness never
     depends on it.  Matched points (the winning model rows) are emitted by
     the kernel itself — they are in VMEM at fold time, and gathering them
@@ -395,10 +404,9 @@ def closest_point_indices_pruned(
     cand, counts, overflow = _candidates(
         p_pad, u_pad, grid, scene_tile=tn, cap=cap
     )
-    # the kernel folds exactly counts[i] candidate tiles; on overflow the
-    # extra candidates were truncated, so clamp (result replaced by the
-    # dense fallback anyway)
-    counts_k = jnp.minimum(counts, cap)[:, None]  # (Ni, 1) SMEM operand
+    # RAW counts to the kernel: rows whose count exceeds the table capacity
+    # fold ALL tiles in-kernel (per-tile fallback; exact either way)
+    counts_k = counts[:, None]  # (Ni, 1) SMEM operand
     # pad rows to the (8, cap) SMEM window multiple (padded rows never read:
     # the grid has ni steps)
     ni8 = _round_up(ni, 8)
@@ -410,7 +418,7 @@ def closest_point_indices_pruned(
     emit_subl = tuple(range(3)) + tuple(range(4, 4 + k_pl))
     n_out = 2 + len(emit_subl)
     vals = pl.pallas_call(
-        functools.partial(_pruned_kernel, emit_subl),
+        functools.partial(_pruned_kernel, emit_subl, nj),
         grid=(ni,),
         in_specs=[
             # (8, cap) SMEM row-window of the candidate table (kernel reads
@@ -458,35 +466,21 @@ def closest_point_indices_grid(
     max_candidates: int = 16,
     interpret: bool | None = None,
 ):
-    """Exact NN with automatic dense fallback on candidate-table overflow;
-    returns (indices, matched model points, payload-or-None, squared
-    distances).  The payload slot carries the winning rows of the (M, k)
-    values packed at ``build_model_grid(payload=...)`` time (None when the
-    grid has no payload).
+    """Exact NN via tile culling; returns (indices, matched model points,
+    payload-or-None, squared distances).  The payload slot carries the
+    winning rows of the (M, k) values packed at
+    ``build_model_grid(payload=...)`` time (None when the grid has none).
 
     Always identical to brute force (``tests/oracle.py`` contract: squared
-    distance, lowest-original-index ties).  The distances use the same
-    broadcast diff-squares f32 math in both paths, so they are comparable
-    bitwise across calls (the sharded ring fold relies on this for
-    cross-shard tie-breaking).
+    distance, lowest-original-index ties): scene tiles whose candidate set
+    overflows the table fold every model tile in-kernel, so exactness never
+    depends on the bounds.  Distances use the broadcast diff-squares f32
+    math everywhere, so they are comparable bitwise across calls (the
+    sharded ring fold relies on this for cross-shard tie-breaking).
     """
-    from icp_tpu.kernels.nn_pallas import closest_point_with_distances_pallas
-
-    idx, y, pl_out, d2, overflow = closest_point_indices_pruned(
+    idx, y, pl_out, d2, _ = closest_point_indices_pruned(
         scene, grid, u,
         scene_tile=scene_tile, max_candidates=max_candidates,
         interpret=interpret,
     )
-
-    def dense(_):
-        idx_d, d2_d = closest_point_with_distances_pallas(
-            scene, grid.model_orig, scene_tile=256, model_tile=4096,
-            interpret=interpret,
-        )
-        pl_d = (
-            None if grid.payload_orig is None
-            else jnp.take(grid.payload_orig, idx_d, axis=0)
-        )
-        return idx_d, jnp.take(grid.model_orig, idx_d, axis=0), pl_d, d2_d
-
-    return jax.lax.cond(overflow, dense, lambda x: x, (idx, y, pl_out, d2))
+    return idx, y, pl_out, d2

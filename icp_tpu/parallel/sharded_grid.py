@@ -13,7 +13,7 @@ pruning + in-kernel DMA work list) applied per hop:
     bound hop by hop*, so later hops cull almost everything (strictly more
     pruning than the single-device engine gets);
   * cross-shard ties break to the lowest GLOBAL original index, exactly like
-    the dense sharded engine: both the pruned kernel and its dense fallback
+    the dense sharded engine: the pruned kernel and its overflow path
     compute distances with the same broadcast diff-squares f32 math, so
     equality comparisons are bitwise meaningful across hops;
   * the loop carry holds ``u`` — the previous iteration's residual
@@ -291,7 +291,7 @@ def icp_sharded_grid(
     API-compatible with ``icp_sharded`` (``icp_sharded(nn_method="grid")``
     dispatches here).  Model padding uses the 1e17 sentinel: pad rows form
     far-away kd tiles whose bbox distance culls them out of every candidate
-    list, and the dense fallback already never selects them.
+    list, and their huge distances keep them out of every fold.
     """
     cfg = config or ICPConfig()
     mesh = mesh or make_mesh()

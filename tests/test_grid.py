@@ -149,7 +149,7 @@ def test_icp_grid_matches_dense_trace(cow_pair):
 def test_payload_emission_matches_gather(rng):
     # normals packed in spare sublanes: kernel-emitted winning payload must
     # equal an explicit gather by the winning index, through both the pruned
-    # path and the dense fallback
+    # path and the overflow (fold-everything) path
     model = _sphere(700, seed=9)
     payload = rng.standard_normal((700, 3)).astype(np.float32)
     scene = _sphere(300, seed=10) * 1.01
@@ -163,7 +163,7 @@ def test_payload_emission_matches_gather(rng):
     want = _oracle_nn(scene, model)
     np.testing.assert_array_equal(np.asarray(idx), want)
     np.testing.assert_array_equal(np.asarray(pl), payload[want])
-    # force the dense fallback: infinite bounds + cap=1 guarantee overflow
+    # force the overflow path: infinite bounds + cap=1
     idx2, y2, pl2, _ = closest_point_indices_grid(
         jnp.asarray(scene), grid, jnp.full((300,), 3.0e38, jnp.float32),
         scene_tile=64, max_candidates=1,

@@ -94,7 +94,7 @@ def test_knn_grid_overflow_falls_back_dense(rng):
     pts = rng.standard_normal((600, 3)).astype(np.float32)
     grid = build_model_grid(jnp.asarray(pts), target_tile=128)
     q = jnp.asarray(rng.standard_normal((100, 3)).astype(np.float32))
-    # cap=1 guarantees phase-2 overflow -> dense fallback, still exact
+    # cap=1 guarantees phase-2 overflow -> per-tile fold-everything path
     d_g, i_g = knn_grid(q, grid, 5, scene_tile=32, max_candidates=1)
     d_d, i_d = knn_pallas(q, jnp.asarray(pts), 5)
     np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_d))
