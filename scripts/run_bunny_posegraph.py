@@ -45,23 +45,27 @@ def consistency(pose_i, pose_j, edge):
 def main():
     data = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
     sub = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    engine = sys.argv[2] if len(sys.argv) > 2 else "point_to_point"
+    nn = sys.argv[3] if len(sys.argv) > 3 else None
     clouds = [load_matrix(os.path.join(data, v + ".txt"))[::sub] for v in VIEWS]
     backend = jax.default_backend()
     cfg = ICPConfig(
         max_iter=60,
         dtype=jnp.float32,
         solver="qcp_fused" if backend == "tpu" else "eigh",
-        nn_method="pallas" if backend == "tpu" else "bcast",
+        nn_method=nn or ("pallas" if backend == "tpu" else "bcast"),
         with_scale=False,
         validate_inputs=False,
         trim_fraction=0.3,
     )
     t0 = time.time()
-    pairs = register_chain(clouds, cfg, multiscale=(8, 1), init="pca")
+    pairs = register_chain(clouds, cfg, multiscale=(8, 1), init="pca",
+                           engine=engine)
     poses = chain_to_world_poses(pairs)
 
     # loop closure: bun315 (index 4) directly onto bun000 (index 0)
-    closure = register_pair(clouds[4], clouds[0], cfg, multiscale=(8, 1), init="pca")
+    closure = register_pair(clouds[4], clouds[0], cfg, multiscale=(8, 1),
+                            init="pca", engine=engine)
     # closure.transform maps cloud0 -> cloud4 frame: edge (i=4, j=0)
     edges = [
         PoseEdge(k, k + 1, jnp.asarray(np.asarray(pairs[k].transform.R)),
@@ -85,6 +89,8 @@ def main():
         wall_s=round(time.time() - t0, 1),
         backend=backend,
         subsample=sub,
+        engine=engine,
+        nn_method=cfg.nn_method,
     )))
 
 
