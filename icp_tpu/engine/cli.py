@@ -112,6 +112,15 @@ def main(argv=None) -> int:
         print("--checkpoint-every/--resume require --checkpoint PATH",
               file=sys.stderr)
         return -1
+    # the run-mode flags select mutually exclusive drivers; a silent
+    # precedence order would drop e.g. --metrics under --sharded
+    modes = [m for m, on in (("--checkpoint-every/--resume",
+                              args.checkpoint_every or args.resume),
+                             ("--sharded", args.sharded),
+                             ("--metrics", bool(args.metrics))) if on]
+    if len(modes) > 1:
+        print(f"{' and '.join(modes)} cannot be combined", file=sys.stderr)
+        return -1
 
     try:
         if args.checkpoint_every or args.resume:

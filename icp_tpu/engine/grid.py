@@ -128,25 +128,17 @@ def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
 
 
 def _init_state(solver: str, dt, init_sim=None):
-    if solver == "qcp_fused":
-        from icp_tpu.kernels.qcp_pallas import identity_state, pack_total_state
+    # shared with the dense engine (engine/icp.py); the grid engine is
+    # fused whenever the solver is
+    from icp_tpu.engine.icp import _init_transform_state
 
-        return identity_state() if init_sim is None else pack_total_state(init_sim)
-    if init_sim is None:
-        return identity_similarity(dt)
-    from icp_tpu.ops.alignment import Similarity
-
-    return Similarity(s=jnp.asarray(init_sim.s, dt),
-                      R=jnp.asarray(init_sim.R, dt),
-                      t=jnp.asarray(init_sim.t, dt))
+    return _init_transform_state(solver == "qcp_fused", dt, init_sim)
 
 
 def _finish_state(state, solver: str):
-    if solver == "qcp_fused":
-        from icp_tpu.kernels.qcp_pallas import unpack_state
+    from icp_tpu.engine.icp import _finish_transform_state
 
-        return unpack_state(state)[1]
-    return state
+    return _finish_transform_state(state, solver == "qcp_fused")
 
 
 _STATICS = (
@@ -224,21 +216,23 @@ def _icp_grid(
         )
         errs = None
     elif mode == "trace":
-        def body(carry, _):
-            p, state, err, it, u, done = carry
-            p_new, state2, err_new, u2 = step(p, state, u)
-            keep = lambda new, old: jnp.where(done, old, new)
-            p = keep(p_new, p)
-            state = jax.tree.map(keep, state2, state)
-            err = keep(err_new, err)
-            u = keep(u2, u)
-            it = jnp.where(done, it, it + 1)
-            done = jnp.logical_or(done, err < threshold)
-            return (p, state, err, it, u, done), err
+        # early-exiting while_loop + error buffer (see engine/icp.py's
+        # trace variant); NaN past iters, callers slice errs[:iters]
+        def cond_t(carry):
+            _, _, err, it, _, _ = carry
+            return jnp.logical_and(it < max_iter, err >= threshold)
 
-        (p, state, err, it, _, _), errs = jax.lax.scan(
-            body, (p0, state0, err0, it0, u0, jnp.asarray(False)),
-            None, length=max_iter,
+        def body_t(carry):
+            p, state, _, it, u, errs = carry
+            p_new, state2, err_new, u2 = step(p, state, u)
+            errs = jax.lax.dynamic_update_index_in_dim(
+                errs, err_new.astype(errs.dtype), it, 0
+            )
+            return p_new, state2, err_new, it + 1, u2, errs
+
+        p, state, err, it, _, errs = jax.lax.while_loop(
+            cond_t, body_t,
+            (p0, state0, err0, it0, u0, jnp.full((max_iter,), jnp.nan, dt)),
         )
     else:  # fixed
         def fbody(_, carry):

@@ -177,8 +177,8 @@ def _is_fused(solver: str, nn_method: str) -> bool:
     return solver == "qcp_fused" and nn_method == "pallas"
 
 
-def _init_transform_state(solver: str, nn_method: str, dt, init_sim=None):
-    if _is_fused(solver, nn_method):
+def _init_transform_state(fused: bool, dt, init_sim=None):
+    if fused:
         from icp_tpu.kernels.qcp_pallas import identity_state, pack_total_state
 
         return identity_state() if init_sim is None else pack_total_state(init_sim)
@@ -207,8 +207,8 @@ def _warm_start(scene, init_sim):
     return apply_similarity(scene, _cast_sim(init_sim, scene.dtype))
 
 
-def _finish_transform_state(state, solver: str, nn_method: str) -> Similarity:
-    if _is_fused(solver, nn_method):
+def _finish_transform_state(state, fused: bool) -> Similarity:
+    if fused:
         from icp_tpu.kernels.qcp_pallas import unpack_state
 
         return unpack_state(state)[1]
@@ -268,14 +268,14 @@ def _icp_while(
 
     init = (
         scene,
-        _init_transform_state(solver, nn_method, dt, init_sim),
+        _init_transform_state(_is_fused(solver, nn_method), dt, init_sim),
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
     )
     p, state, err, it = jax.lax.while_loop(cond, body, init)
     return ICPResult(
         points=p,
-        transform=_finish_transform_state(state, solver, nn_method),
+        transform=_finish_transform_state(state, _is_fused(solver, nn_method)),
         err=err,
         iters=it,
     )
@@ -364,7 +364,7 @@ def _icp_while_guarded(
 
     init = (
         scene,
-        _init_transform_state(solver, nn_method, dt, init_sim),
+        _init_transform_state(_is_fused(solver, nn_method), dt, init_sim),
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(jnp.inf, dt),
@@ -373,7 +373,7 @@ def _icp_while_guarded(
     p, state, err, it, _, status = jax.lax.while_loop(cond, body, init)
     result = ICPResult(
         points=p,
-        transform=_finish_transform_state(state, solver, nn_method),
+        transform=_finish_transform_state(state, _is_fused(solver, nn_method)),
         err=err,
         iters=it,
     )
@@ -423,15 +423,23 @@ def _icp_scan_trace(
     trim_fraction: float = 0.0,
     init_sim=None,
 ):
-    """Fixed-shape scan variant that records the per-iteration error trace.
+    """Early-exiting trace variant: the reference's loop + per-iteration
+    error log (``src/cpu.cc:55-79``).
 
-    Emulates the reference's early ``break`` by freezing the state once
-    converged (subsequent trace entries repeat the final error)."""
+    A while_loop carrying a preallocated (max_iter,) error buffer —
+    iterations past convergence never execute (a scan with done-masking
+    would run max_iter trips regardless, ~28x the device work for a
+    200-iteration budget converging in 7).  Unwritten tail entries are NaN;
+    callers slice ``errs[:iters]``."""
     dt = scene.dtype
     scene = _warm_start(scene, init_sim)
 
-    def body(carry, _):
-        p, sim_tot, err, it, done = carry
+    def cond(carry):
+        _, _, err, it, _ = carry
+        return jnp.logical_and(it < max_iter, err >= threshold)
+
+    def body(carry):
+        p, sim_tot, _, it, errs = carry
         p_new, sim_tot2, err_new = _step_and_compose(
             p,
             model,
@@ -444,26 +452,23 @@ def _icp_scan_trace(
             model_tile=model_tile,
             trim_fraction=trim_fraction,
         )
-        keep = lambda new, old: jnp.where(done, old, new)
-        p = keep(p_new, p)
-        sim_tot = jax.tree.map(keep, sim_tot2, sim_tot)
-        err = keep(err_new, err)
-        it = jnp.where(done, it, it + 1)
-        done = jnp.logical_or(done, err < threshold)
-        return (p, sim_tot, err, it, done), err
+        errs = jax.lax.dynamic_update_index_in_dim(
+            errs, err_new.astype(errs.dtype), it, 0
+        )
+        return p_new, sim_tot2, err_new, it + 1, errs
 
     init = (
         scene,
-        _init_transform_state(solver, nn_method, dt, init_sim),
+        _init_transform_state(_is_fused(solver, nn_method), dt, init_sim),
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
-        jnp.asarray(False),
+        jnp.full((max_iter,), jnp.nan, dt),
     )
-    (p, state, err, it, _), errs = jax.lax.scan(body, init, None, length=max_iter)
+    p, state, err, it, errs = jax.lax.while_loop(cond, body, init)
     return ICPTrace(
         result=ICPResult(
             points=p,
-            transform=_finish_transform_state(state, solver, nn_method),
+            transform=_finish_transform_state(state, _is_fused(solver, nn_method)),
             err=err,
             iters=it,
         ),
@@ -521,14 +526,14 @@ def icp_fixed_iters(
 
     init = (
         scene,
-        _init_transform_state(solver, nn_method, dt),
+        _init_transform_state(_is_fused(solver, nn_method), dt),
         jnp.asarray(jnp.inf, dt),
     )
     n = jnp.asarray(n_iters, jnp.int32)
     p, state, err = jax.lax.fori_loop(0, n, body, init)
     return ICPResult(
         points=p,
-        transform=_finish_transform_state(state, solver, nn_method),
+        transform=_finish_transform_state(state, _is_fused(solver, nn_method)),
         err=err,
         iters=n,
     )
@@ -665,8 +670,9 @@ def icp_resumable(
     cfg = config or ICPConfig()
     total_iters = 0
     cur = init
+    loaded_err = float("nan")
     if resume and os.path.exists(checkpoint_path):
-        cur, total_iters, _, _ = load_checkpoint(checkpoint_path)
+        cur, total_iters, loaded_err, _ = load_checkpoint(checkpoint_path)
     res = None
     while total_iters < cfg.max_iter:
         k = min(checkpoint_every, cfg.max_iter - total_iters)
@@ -680,11 +686,13 @@ def icp_resumable(
         )
         if int(res.iters) < k or float(res.err) < cfg.threshold:
             break
-    if res is None:  # resumed past max_iter: re-apply for the points
+    if res is None:  # resumed past max_iter: re-apply for the points; the
+        # error is the checkpoint's stored value (NOT NaN — the CLI re-saves
+        # the result, and NaN would destroy the stored error)
         p = _warm_start(scene if isinstance(scene, jax.Array)
                         else jnp.asarray(scene, cfg.dtype), cur)
         return ICPResult(points=p, transform=_cast_sim(cur, cfg.dtype),
-                         err=jnp.asarray(jnp.nan, cfg.dtype),
+                         err=jnp.asarray(loaded_err, cfg.dtype),
                          iters=jnp.asarray(total_iters, jnp.int32))
     return ICPResult(points=res.points, transform=res.transform, err=res.err,
                      iters=jnp.asarray(total_iters, jnp.int32))

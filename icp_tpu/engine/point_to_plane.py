@@ -55,7 +55,7 @@ def _rodrigues(omega: jax.Array) -> jax.Array:
 
 
 def _p2pl_step(p, model, normals, *, nn_method, scene_tile, model_tile,
-               damping=1e-9):
+               trim_fraction=0.0, damping=1e-9):
     idx = closest_point_indices(
         p, model, method=nn_method, scene_tile=scene_tile, model_tile=model_tile
     )
@@ -64,6 +64,19 @@ def _p2pl_step(p, model, normals, *, nn_method, scene_tile, model_tile,
 
     r = jnp.sum(n * (p - y), axis=1)  # (N,) signed plane distances
     J = jnp.concatenate([jnp.cross(p, n), n], axis=1)  # (N, 6)
+    if trim_fraction > 0.0:
+        # trim by EUCLIDEAN correspondence distance (same robustness notion
+        # as the point-to-point/GICP engines — the plane residual can be
+        # tiny for a gross outlier sliding along a surface)
+        d2 = jnp.sum((y - p) ** 2, axis=1)
+        tau = jnp.quantile(d2, 1.0 - trim_fraction)
+        w = (d2 <= tau).astype(p.dtype)
+        r = r * w
+        J = J * w[:, None]
+        n_eff = jnp.sum(w)
+    else:
+        w = None
+        n_eff = jnp.asarray(p.shape[0], p.dtype)
     A = jnp.einsum("ni,nj->ij", J, J, precision=jax.lax.Precision.HIGHEST)
     b = jnp.einsum("ni,n->i", J, r, precision=jax.lax.Precision.HIGHEST)
     x = -jnp.linalg.solve(A + damping * jnp.eye(6, dtype=p.dtype), b)
@@ -72,14 +85,17 @@ def _p2pl_step(p, model, normals, *, nn_method, scene_tile, model_tile,
     t = x[3:]
     sim = Similarity(s=jnp.asarray(1.0, p.dtype), R=R, t=t)
     p_new = apply_similarity(p, sim)
-    err = jnp.mean(jnp.sum(n * (p_new - y), axis=1) ** 2)
+    res = jnp.sum(n * (p_new - y), axis=1)
+    if w is not None:
+        res = res * w
+    err = jnp.sum(res ** 2) / n_eff
     return p_new, sim, err
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "scene_tile_target", "model_tile_target",
-                     "max_candidates"),
+                     "max_candidates", "trim_fraction"),
 )
 def _icp_p2pl_grid(
     model,
@@ -91,6 +107,7 @@ def _icp_p2pl_grid(
     scene_tile_target: int = 256,
     model_tile_target: int = 1024,
     max_candidates: int = 16,
+    trim_fraction: float = 0.0,
     init_sim=None,
 ):
     """Grid-pruned point-to-plane loop (``nn_method="grid"``).
@@ -123,23 +140,37 @@ def _icp_p2pl_grid(
                                  interpret=interp)
     u0 = bound_from_indices(p0, grid, idx0)
 
+    n_real = scene.shape[0]
+    n_pad = p0.shape[0]
+
     def body(carry):
         p, sim_tot, _, it, u = carry
-        _, y, nv, _ = closest_point_indices_grid(
+        _, y, nv, d2 = closest_point_indices_grid(
             p, grid, u, scene_tile=tn, max_candidates=max_candidates,
             interpret=interp,
         )
         y = y.astype(dt)
         nv = nv.astype(dt)
-        r = jnp.sum(nv * (p - y), axis=1) * w
-        J = jnp.concatenate([jnp.cross(p, nv), nv], axis=1) * w[:, None]
+        if trim_fraction > 0.0:
+            # Euclidean-distance trim (same notion as the other engines);
+            # quantile rescaled onto the real-row prefix, padded rows at
+            # the sentinel (see engine/grid.py)
+            if dt != jnp.float32:
+                d2 = jnp.sum((y - p) ** 2, axis=1)
+            q = (1.0 - trim_fraction) * (n_real - 1) / max(n_pad - 1, 1)
+            tau = jnp.quantile(jnp.where(w > 0, d2, 3.0e38), q)
+            w_eff = w * (d2 <= tau).astype(w.dtype)
+        else:
+            w_eff = w
+        r = jnp.sum(nv * (p - y), axis=1) * w_eff
+        J = jnp.concatenate([jnp.cross(p, nv), nv], axis=1) * w_eff[:, None]
         A = jnp.einsum("ni,nj->ij", J, J, precision=jax.lax.Precision.HIGHEST)
         b = jnp.einsum("ni,n->i", J, r, precision=jax.lax.Precision.HIGHEST)
         x = -jnp.linalg.solve(A + 1e-9 * jnp.eye(6, dtype=dt), b)
         sim = Similarity(s=jnp.asarray(1.0, dt), R=_rodrigues(x[:3]), t=x[3:])
         p_new = apply_similarity(p, sim)
         d = y - p_new
-        err = jnp.sum((jnp.sum(nv * d, axis=1) * w) ** 2) / jnp.sum(w)
+        err = jnp.sum((jnp.sum(nv * d, axis=1) * w_eff) ** 2) / jnp.sum(w_eff)
         u_next = jnp.sum(d * d, axis=1).astype(jnp.float32)
         return p_new, compose(sim_tot, sim), err, it + 1, u_next
 
@@ -160,7 +191,8 @@ def _icp_p2pl_grid(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iter", "nn_method", "scene_tile", "model_tile"),
+    static_argnames=("max_iter", "nn_method", "scene_tile", "model_tile",
+                     "trim_fraction"),
 )
 def _icp_p2pl_while(
     model,
@@ -172,6 +204,7 @@ def _icp_p2pl_while(
     nn_method: str,
     scene_tile: int,
     model_tile: int,
+    trim_fraction: float = 0.0,
     init_sim=None,
 ):
     dt = scene.dtype
@@ -187,6 +220,7 @@ def _icp_p2pl_while(
         p_new, sim, err = _p2pl_step(
             p, model, normals, nn_method=nn_method,
             scene_tile=scene_tile, model_tile=model_tile,
+            trim_fraction=trim_fraction,
         )
         return p_new, compose(sim_tot, sim), err, it + 1
 
@@ -252,6 +286,7 @@ def icp_point_to_plane_sharded(
 
     max_iter = cfg.max_iter
     threshold = jnp.asarray(cfg.threshold, cfg.dtype)
+    trim_fraction = cfg.trim_fraction
     backend = jax.default_backend()
     nn_impl = "pallas" if cfg.resolved_nn_method(backend) == "pallas" else "jnp"
 
@@ -270,8 +305,18 @@ def icp_point_to_plane_sharded(
                     p, m_loc, axis=axis, n_dev=n_dev, nn_impl=nn_impl,
                     payload=(nrm_loc,),
                 )
-                r = jnp.sum(nv * (p - y), axis=1) * w_loc
-                J = jnp.concatenate([jnp.cross(p, nv), nv], axis=1) * w_loc[:, None]
+                if trim_fraction > 0.0:
+                    from icp_tpu.parallel.sharded import _distributed_quantile
+
+                    d2 = jnp.sum((y - p) ** 2, axis=1)
+                    tau = _distributed_quantile(
+                        d2, w_loc, 1.0 - trim_fraction, axis
+                    )
+                    w_eff = w_loc * (d2 <= tau).astype(w_loc.dtype)
+                else:
+                    w_eff = w_loc
+                r = jnp.sum(nv * (p - y), axis=1) * w_eff
+                J = jnp.concatenate([jnp.cross(p, nv), nv], axis=1) * w_eff[:, None]
                 A = jax.lax.psum(
                     jnp.einsum("ni,nj->ij", J, J,
                                precision=jax.lax.Precision.HIGHEST), axis)
@@ -281,9 +326,9 @@ def icp_point_to_plane_sharded(
                 x = -jnp.linalg.solve(A + 1e-9 * jnp.eye(6, dtype=dt), b)
                 sim = Similarity(s=jnp.asarray(1.0, dt), R=_rodrigues(x[:3]), t=x[3:])
                 p_new = apply_similarity(p, sim)
-                nw = jax.lax.psum(jnp.sum(w_loc), axis)
+                nw = jax.lax.psum(jnp.sum(w_eff), axis)
                 err = jax.lax.psum(
-                    jnp.sum((jnp.sum(nv * (p_new - y), axis=1) * w_loc) ** 2), axis
+                    jnp.sum((jnp.sum(nv * (p_new - y), axis=1) * w_eff) ** 2), axis
                 ) / nw
                 return p_new, compose(sim_tot, sim), err, it + 1
 
@@ -344,6 +389,7 @@ def icp_point_to_plane(
             scene_tile_target=cfg.grid_scene_tile,
             model_tile_target=cfg.grid_model_tile,
             max_candidates=cfg.grid_max_candidates,
+            trim_fraction=cfg.trim_fraction,
             init_sim=None if init is None else _cast_sim(init, cfg.dtype),
         )
     return _icp_p2pl_while(
@@ -355,5 +401,6 @@ def icp_point_to_plane(
         nn_method=cfg.resolved_nn_method(backend),
         scene_tile=cfg.scene_tile,
         model_tile=cfg.model_tile,
+        trim_fraction=cfg.trim_fraction,
         init_sim=None if init is None else _cast_sim(init, cfg.dtype),
     )

@@ -27,12 +27,24 @@ import sys
 import numpy as np
 
 # strtod-style numeric prefix: optional whitespace, then a float literal
-# (decimal/exponent/inf/nan).  Used to mirror sscanf("%lf,%lf,%lf") exactly.
+# (hex/decimal/exponent/inf/nan).  Used to mirror sscanf("%lf,%lf,%lf")
+# exactly — C99 %lf accepts hex floats (0x1A -> 26.0), so the hex branch
+# comes FIRST or "0x1A" would parse as just "0"; a bare "0x" with no hex
+# digit falls through to the decimal branch as "0" (strtod behavior).
 _NUM_PREFIX = re.compile(
-    r"[ \t\r\n\f\v]*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+    r"[ \t\r\n\f\v]*("
+    r"[+-]?0[xX](?:[0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)"
+    r"(?:[pP][+-]?\d+)?"
+    r"|[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
     r"|[+-]?inf(?:inity)?|[+-]?nan)",
     re.IGNORECASE,
 )
+
+
+def _strtod(tok: str) -> float:
+    if tok.lstrip("+-")[:2].lower() == "0x":
+        return float.fromhex(tok)
+    return float(tok)
 
 
 def _parse_lines_exact(lines: list[str]) -> np.ndarray:
@@ -51,7 +63,7 @@ def _parse_lines_exact(lines: list[str]) -> np.ndarray:
             m = _NUM_PREFIX.match(line, pos)
             if not m:
                 break
-            out[i, d] = float(m.group(1))
+            out[i, d] = _strtod(m.group(1))
             pos = m.end()
             if d < 2:
                 if pos >= len(line) or line[pos] != ",":

@@ -246,23 +246,24 @@ def _icp_sharded_jit(
         )
 
         if trace:
-            # scan with done-masking: fixed max_iter trips, per-iteration
-            # error trace out (same pattern as engine/icp.py mode="trace").
-            def body(carry, _):
-                p, sim_tot, err, it, done = carry
-                p2, sim2, err2, it2 = step(p, sim_tot, it)
-                keep = lambda new, old: jnp.where(done, old, new)
-                p = keep(p2, p)
-                sim_tot = jax.tree.map(keep, sim2, sim_tot)
-                err = keep(err2, err)
-                it = jnp.where(done, it, it2)
-                done = jnp.logical_or(
-                    jnp.logical_or(done, err < threshold), it >= bound
-                )
-                return (p, sim_tot, err, it, done), err
+            # early-exiting while_loop carrying a preallocated (max_iter,)
+            # error buffer (a scan with done-masking would run max_iter
+            # ring-NN trips regardless of convergence — the at-scale CLI
+            # path cannot afford that); NaN past iters, callers slice.
+            def cond_t(carry):
+                _, _, err, it, _ = carry
+                return jnp.logical_and(it < bound, err >= threshold)
 
-            (p, sim_tot, err, it, _), errs = jax.lax.scan(
-                body, init + (jnp.asarray(False),), None, length=max_iter
+            def body_t(carry):
+                p, sim_tot, _, it, errs = carry
+                p2, sim2, err2, it2 = step(p, sim_tot, it)
+                errs = jax.lax.dynamic_update_index_in_dim(
+                    errs, err2.astype(errs.dtype), it, 0
+                )
+                return p2, sim2, err2, it2, errs
+
+            p, sim_tot, err, it, errs = jax.lax.while_loop(
+                cond_t, body_t, init + (jnp.full((max_iter,), jnp.nan, dt),)
             )
             return p, sim_tot, err, it, errs
 
@@ -419,19 +420,21 @@ def _icp_sharded_2d_jit(
         )
 
         if trace:
-            def body(carry, _):
-                p, sim_tot, err, it, done = carry
-                p2, sim2, err2, it2 = step(p, sim_tot, it)
-                keep = lambda new, old: jnp.where(done, old, new)
-                p = keep(p2, p)
-                sim_tot = jax.tree.map(keep, sim2, sim_tot)
-                err = keep(err2, err)
-                it = jnp.where(done, it, it2)
-                done = jnp.logical_or(done, err < threshold)
-                return (p, sim_tot, err, it, done), err
+            # early-exiting while_loop + error buffer (see the 1-D engine)
+            def cond_t(carry):
+                _, _, err, it, _ = carry
+                return jnp.logical_and(it < max_iter, err >= threshold)
 
-            (p, sim_tot, err, it, _), errs = jax.lax.scan(
-                body, init + (jnp.asarray(False),), None, length=max_iter
+            def body_t(carry):
+                p, sim_tot, _, it, errs = carry
+                p2, sim2, err2, it2 = step(p, sim_tot, it)
+                errs = jax.lax.dynamic_update_index_in_dim(
+                    errs, err2.astype(errs.dtype), it, 0
+                )
+                return p2, sim2, err2, it2, errs
+
+            p, sim_tot, err, it, errs = jax.lax.while_loop(
+                cond_t, body_t, init + (jnp.full((max_iter,), jnp.nan, dt),)
             )
             return p, sim_tot, err, it, errs
 

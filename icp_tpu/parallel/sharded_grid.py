@@ -226,22 +226,21 @@ def _icp_sharded_grid_jit(
         )
 
         if trace:
-            def body(carry, _):
-                p, sim_tot, err, it, u, done = carry
-                p2, sim2, err2, it2, u2 = step(p, sim_tot, it, u)
-                keep = lambda new, old: jnp.where(done, old, new)
-                p = keep(p2, p)
-                sim_tot = jax.tree.map(keep, sim2, sim_tot)
-                err = keep(err2, err)
-                u = keep(u2, u)
-                it = jnp.where(done, it, it2)
-                done = jnp.logical_or(
-                    jnp.logical_or(done, err < threshold), it >= bound
-                )
-                return (p, sim_tot, err, it, u, done), err
+            # early-exiting while_loop + error buffer (see parallel/sharded.py)
+            def cond_t(carry):
+                _, _, err, it, _, _ = carry
+                return jnp.logical_and(it < bound, err >= threshold)
 
-            (p, sim_tot, err, it, _, _), errs = jax.lax.scan(
-                body, init + (jnp.asarray(False),), None, length=max_iter
+            def body_t(carry):
+                p, sim_tot, _, it, u, errs = carry
+                p2, sim2, err2, it2, u2 = step(p, sim_tot, it, u)
+                errs = jax.lax.dynamic_update_index_in_dim(
+                    errs, err2.astype(errs.dtype), it, 0
+                )
+                return p2, sim2, err2, it2, u2, errs
+
+            p, sim_tot, err, it, _, errs = jax.lax.while_loop(
+                cond_t, body_t, init + (jnp.full((max_iter,), jnp.nan, dt),)
             )
             return p[inv_slots], sim_tot, err, it, errs
 

@@ -72,16 +72,40 @@ def run_with_metrics(model, scene, config=None, *, measure_ops: bool = False,
             alignment_from_stats,
             compute_alignment_stats,
         )
-        from icp_tpu.ops.distance import closest_point_indices_bcast
-
         m = jnp.asarray(model, jnp.float32)
         p = jnp.asarray(scene, jnp.float32)
         nn = cfg.resolved_nn_method(backend)
 
-        def corr(m_, p_, c):
-            if nn == "pallas":
-                return closest_point_indices_pallas(p_ + c * 1e-20, m_)
-            return closest_point_indices_bcast(p_ + c * 1e-20, m_)
+        if nn == "grid":
+            # steady-state grid NN, same setup as the bench harness: the
+            # recorded correspondence split must time the op the run
+            # actually used, not a dense stand-in
+            from icp_tpu.engine.grid import _prepare_scene
+            from icp_tpu.kernels.nn_grid import (
+                bound_from_indices,
+                build_model_grid,
+                closest_point_indices_grid,
+                initial_bound_indices,
+            )
+
+            grid = build_model_grid(m, target_tile=cfg.grid_model_tile)
+            p_kd, _, _, tn, _ = _prepare_scene(p, cfg.grid_scene_tile)
+            prev = initial_bound_indices(p_kd, grid.model_orig, stride=4)
+            u_prev = bound_from_indices(p_kd, grid, prev)
+
+            def corr(m_, p_, c):
+                return closest_point_indices_grid(
+                    p_kd + c * 1e-20, grid, u_prev + c * 1e-20,
+                    scene_tile=tn,
+                    max_candidates=cfg.grid_max_candidates,
+                )[0]
+        else:
+            from icp_tpu.ops.distance import closest_point_indices
+
+            def corr(m_, p_, c):
+                if nn == "pallas":
+                    return closest_point_indices_pallas(p_ + c * 1e-20, m_)
+                return closest_point_indices(p_ + c * 1e-20, m_, method=nn)
 
         def align(m_, p_, c):
             sim = alignment_from_stats(

@@ -104,3 +104,16 @@ def test_checkpoint_roundtrip(tmp_path):
     out = np.loadtxt(tmp_path / "output.txt", delimiter=",", skiprows=1)
     replay = float(sim.s) * scene @ np.asarray(sim.R).T + np.asarray(sim.t)
     assert np.abs(replay - out).max() < 1e-4
+
+
+def test_conflicting_mode_flags_rejected(tmp_path):
+    # --sharded + --metrics (and other run-mode combos) must error loudly
+    # instead of silently dropping one of them
+    r = run_cli(
+        [data_path("cow_ref.txt"), data_path("cow_tr1.txt"), "5",
+         "--sharded", "--metrics", str(tmp_path / "m.json")],
+        tmp_path,
+    )
+    assert r.returncode == 255
+    assert "cannot be combined" in r.stderr
+    assert not (tmp_path / "m.json").exists()

@@ -85,3 +85,19 @@ def test_native_writer_matches_python(tmp_path):
     write_matrix(pts, py_out)
     assert native.try_write(pts, nat_out)
     assert open(py_out).read() == open(nat_out).read()
+
+
+def test_load_hex_floats_strtod_parity(tmp_path):
+    # C99 %lf / strtod accept hex floats; the exact Python parser must agree
+    # with the native parser (0x1A -> 26.0, 0x1.8p1 -> 3.0; a bare "0x"
+    # parses as 0 with the 'x' breaking the comma match — strtod behavior)
+    f = tmp_path / "hex.txt"
+    f.write_text("h1,h2,h3\n0x1A,2,3\n0x1.8p1,-0X10,4\n0x,5,6\n")
+    expected = [[26.0, 2.0, 3.0], [3.0, -16.0, 4.0], [0.0, 0.0, 0.0]]
+    arr = load_matrix(str(f), use_native=False)
+    np.testing.assert_allclose(arr, expected)
+    from icp_tpu.io import native
+
+    if native.get_lib() is not None:
+        nat = native.try_load(str(f))
+        np.testing.assert_array_equal(nat, arr)

@@ -136,3 +136,37 @@ def test_point_to_plane_grid_matches_dense(rng):
     assert int(grid.iters) == int(dense.iters)
     np.testing.assert_allclose(np.asarray(grid.points),
                                np.asarray(dense.points), atol=1e-5)
+
+
+def test_point_to_plane_trimmed_rejects_outliers(rng):
+    # --trim advertised for every engine: p2pl must actually honor it
+    model = _wavy_surface(rng, 900)
+    R, t = _small_rigid(rng)
+    scene = np.asarray((model[:600] - t) @ R).copy()
+    scene[::10] += 4.0  # 10% gross outliers
+    cfg = dict(max_iter=40, dtype=jnp.float64, validate_inputs=False,
+               threshold=1e-14, trim_fraction=0.2)
+    for nn in ("bcast", "grid"):
+        res = icp_point_to_plane(model, scene, ICPConfig(nn_method=nn, **cfg))
+        np.testing.assert_allclose(np.asarray(res.transform.R), R, atol=1e-3,
+                                   err_msg=nn)
+        np.testing.assert_allclose(np.asarray(res.transform.t), t, atol=1e-3,
+                                   err_msg=nn)
+
+
+def test_point_to_plane_sharded_trimmed(rng):
+    import jax
+
+    from icp_tpu.engine.point_to_plane import icp_point_to_plane_sharded
+    from icp_tpu.parallel.mesh import make_mesh
+
+    model = _wavy_surface(rng, 800)
+    R, t = _small_rigid(rng)
+    scene = np.asarray((model[:600] - t) @ R).copy()
+    scene[::10] += 4.0
+    cfg = ICPConfig(max_iter=40, dtype=jnp.float64, nn_method="bcast",
+                    validate_inputs=False, threshold=1e-14, trim_fraction=0.2)
+    mesh = make_mesh(jax.devices()[:8])
+    res = icp_point_to_plane_sharded(model, scene, cfg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(res.transform.R), R, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.transform.t), t, atol=1e-3)
