@@ -366,6 +366,16 @@ def icp_generalized_sharded(
 
     from icp_tpu.ops.normals import estimate_normals
     from icp_tpu.parallel.mesh import make_mesh
+
+    if (config or ICPConfig()).resolved_nn_method(
+            jax.default_backend()) == "grid":
+        from icp_tpu.parallel.sharded_grid import gn_sharded_grid
+
+        return gn_sharded_grid(
+            model, scene, config, engine="gicp",
+            model_normals=model_normals, scene_normals=scene_normals,
+            normal_k=normal_k, eps=eps, mesh=mesh,
+        )
     from icp_tpu.parallel.sharded import (
         _distributed_quantile,
         _pad_rows,

@@ -258,6 +258,13 @@ def icp_point_to_plane_sharded(
 
     cfg = config or ICPConfig()
     mesh = mesh or make_mesh()
+    if cfg.resolved_nn_method(jax.default_backend()) == "grid":
+        from icp_tpu.parallel.sharded_grid import gn_sharded_grid
+
+        return gn_sharded_grid(
+            model, scene, cfg, engine="point_to_plane",
+            model_normals=normals, normal_k=normal_k, mesh=mesh,
+        )
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
 

@@ -62,11 +62,13 @@ _BIG = 3.0e38
 
 def _prepare_scene_shard(p_loc, w_loc, target_tile: int):
     """kd-sort + pad ONE device's scene rows; returns
-    (p_sorted, w_sorted, inv_slots, tn).
+    (p_sorted, w_sorted, inv_slots, tn, perm).
 
     ``w_loc`` marks globally-real rows (global padding lands on the last
     shard); kd padding replicates the last row with weight 0.  Real rows sort
     compactly (padding to segment tails), keeping scene tiles tight.
+    ``perm`` maps sorted slots to padded local rows (for permuting per-point
+    side data such as GICP covariances alongside the points).
     """
     n = p_loc.shape[0]
     lvl = levels_for(n, target_tile)
@@ -77,34 +79,43 @@ def _prepare_scene_shard(p_loc, w_loc, target_tile: int):
     w_pad = jnp.concatenate([w_loc, jnp.zeros((n_pad - n,), w_loc.dtype)])
     perm = kd_order(p_pad, lvl, real=w_pad > 0)
     inv_slots = jnp.argsort(perm)[:n]
-    return p_pad[perm], w_pad[perm], inv_slots, tn
+    return p_pad[perm], w_pad[perm], inv_slots, tn, perm
 
 
 def _ring_correspond_grid(p_loc, u, grid_arrays, *, tm: int, axis: str,
                           n_dev: int, m_shard: int, scene_tile: int,
-                          max_candidates: int, interpret: bool):
-    """Grid-pruned ring NN fold.  Returns (y, global index, best distance).
+                          max_candidates: int, interpret: bool,
+                          payload_dim: int = 0):
+    """Grid-pruned ring NN fold.
+    Returns (y, global index, best distance[, winning payload]).
 
     ``u``: (N_loc,) f32 upper bounds on the GLOBAL NN distance (previous
     iteration's residual, or the first-iteration local-shard bound — local
     distances bound the global minimum from above).  ``grid_arrays``: the
     ModelGrid array fields of THIS device's shard; they rotate around the
     ring (``model_tile`` stays static and is passed as ``tm``).
+
+    ``payload_dim`` > 0: the grids were built with an (M, payload_dim)
+    payload packed in the tile sublanes (e.g. normals for point-to-plane /
+    GICP); the winning payload rows ride the fold carry, so the sharded
+    payload engines stay gather-free too.
     """
     my = jax.lax.axis_index(axis).astype(jnp.int32)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     n_loc = p_loc.shape[0]
 
     def hop(k, carry):
-        best_d, best_gi, best_y, tiles_t, tile_lo, tile_hi, m_orig = carry
+        best_d, best_gi, best_y, best_pl, tiles_t, tile_lo, tile_hi, \
+            m_orig, pl_orig = carry
         src = jax.lax.rem(
             my - k.astype(jnp.int32) + jnp.int32(n_dev), jnp.int32(n_dev)
         )
         g = ModelGrid(tiles_t=tiles_t, tile_lo=tile_lo, tile_hi=tile_hi,
-                      model_orig=m_orig, model_tile=tm)
+                      model_orig=m_orig, model_tile=tm,
+                      payload_orig=pl_orig if payload_dim else None)
         # cull bound: both the cross-hop running best and the caller's bound
         # are achieved distances to real model points — exact upper bounds.
-        idx, y, _, d2 = closest_point_indices_grid(
+        idx, y, pl, d2 = closest_point_indices_grid(
             p_loc, g, jnp.minimum(best_d, u), scene_tile=scene_tile,
             max_candidates=max_candidates, interpret=interpret,
         )
@@ -115,18 +126,28 @@ def _ring_correspond_grid(p_loc, u, grid_arrays, *, tm: int, axis: str,
         best_d = jnp.where(better, d2, best_d)
         best_gi = jnp.where(better, gi, best_gi)
         best_y = jnp.where(better[:, None], y, best_y)
+        if payload_dim:
+            best_pl = jnp.where(better[:, None], pl, best_pl)
         tiles_t = jax.lax.ppermute(tiles_t, axis, perm)
         tile_lo = jax.lax.ppermute(tile_lo, axis, perm)
         tile_hi = jax.lax.ppermute(tile_hi, axis, perm)
         m_orig = jax.lax.ppermute(m_orig, axis, perm)
-        return best_d, best_gi, best_y, tiles_t, tile_lo, tile_hi, m_orig
+        if payload_dim:
+            pl_orig = jax.lax.ppermute(pl_orig, axis, perm)
+        return (best_d, best_gi, best_y, best_pl, tiles_t, tile_lo,
+                tile_hi, m_orig, pl_orig)
 
     init = (
         jnp.full((n_loc,), _BIG, jnp.float32),
         jnp.full((n_loc,), 2**31 - 1, jnp.int32),
         jnp.zeros((n_loc, 3), jnp.float32),
+        jnp.zeros((n_loc, payload_dim), jnp.float32) if payload_dim else 0,
     ) + grid_arrays
-    best_d, best_gi, best_y, *_ = jax.lax.fori_loop(0, n_dev, hop, init)
+    best_d, best_gi, best_y, best_pl, *_ = jax.lax.fori_loop(
+        0, n_dev, hop, init
+    )
+    if payload_dim:
+        return best_y, best_gi, best_d, best_pl
     return best_y, best_gi, best_d
 
 
@@ -178,9 +199,10 @@ def _icp_sharded_grid_jit(
         # strided subsample of the LOCAL shard (local distances bound the
         # global NN from above — no collective needed).
         grid = build_model_grid(m_loc, target_tile=model_tile_target)
+        # 5th slot = payload arrays (0 placeholder without payload)
         grid_arrays = (grid.tiles_t, grid.tile_lo, grid.tile_hi,
-                       grid.model_orig)
-        p0, w_loc, inv_slots, tn = _prepare_scene_shard(
+                       grid.model_orig, 0)
+        p0, w_loc, inv_slots, tn, _ = _prepare_scene_shard(
             p_loc_raw, w_loc_raw, scene_tile_target
         )
         stride = max(1, min(bound_stride, m_shard // 4))
@@ -328,3 +350,238 @@ def icp_sharded_grid(
         trace=trace,
     )
     return _unpad_result(out, n, trace)
+
+
+# ---------------------------------------------------------------------------
+# Sharded grid-pruned Gauss-Newton engines: point-to-plane and GICP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "engine", "max_iter", "trim_fraction", "eps",
+        "scene_tile_target", "model_tile_target", "max_candidates",
+    ),
+)
+def _gn_sharded_grid_jit(
+    model_pad,
+    normals_pad,
+    scene_pad,
+    covs_pad,  # (N_pad, 3, 3) scene covariances (GICP) or a 0 placeholder
+    scene_mask,
+    threshold,
+    *,
+    mesh: Mesh,
+    engine: str,  # "point_to_plane" | "gicp"
+    max_iter: int,
+    trim_fraction: float = 0.0,
+    eps: float = 1e-3,
+    scene_tile_target: int = 256,
+    model_tile_target: int = 1024,
+    max_candidates: int = 16,
+):
+    """Sharded grid-pruned GN loop shared by point-to-plane and GICP.
+
+    Model normals ride the kd tiles' spare sublanes of each shard's grid and
+    the whole grid rotates around the ring; the winning (point, normal) pair
+    comes out of the fold carry — gather-free, like the single-device grid
+    engines.  GICP recomputes the model covariance from the emitted normal
+    (``disk_covariances`` is a pure function of it) and rotates the local
+    scene covariances with each step.  6x6 normal equations psum-reduced;
+    solve + Rodrigues replicated.
+    """
+    from icp_tpu.engine.gicp import _gicp_system, disk_covariances
+    from icp_tpu.engine.point_to_plane import _rodrigues
+    from icp_tpu.ops.alignment import Similarity
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    dt = scene_pad.dtype
+    m_shard = model_pad.shape[0] // n_dev
+    interp = jax.default_backend() != "tpu"
+    gicp = engine == "gicp"
+
+    def local_icp(m_loc, nrm_loc, p_loc_raw, cov_loc_raw, w_loc_raw):
+        grid = build_model_grid(m_loc, target_tile=model_tile_target,
+                                payload=nrm_loc)
+        grid_arrays = (grid.tiles_t, grid.tile_lo, grid.tile_hi,
+                       grid.model_orig, grid.payload_orig)
+        p0, w_loc, inv_slots, tn, perm = _prepare_scene_shard(
+            p_loc_raw, w_loc_raw, scene_tile_target
+        )
+        if gicp:
+            # kd-permute the local scene covariances alongside the points;
+            # kd padding rows get identity (inert: weight 0)
+            n_loc = p_loc_raw.shape[0]
+            n_pad_loc = p0.shape[0]
+            eye_pad = jnp.broadcast_to(
+                jnp.eye(3, dtype=dt), (n_pad_loc - n_loc, 3, 3)
+            )
+            cov0 = jnp.concatenate([cov_loc_raw, eye_pad], axis=0)[perm]
+        else:
+            cov0 = 0
+        stride = max(1, min(16, m_shard // 4))
+        idx0 = initial_bound_indices(p0, grid.model_orig, stride=stride,
+                                     interpret=interp)
+        u0 = bound_from_indices(p0, grid, idx0)
+
+        def step(p, cov_p, sim_tot, it, u):
+            y, _, d2, nv = _ring_correspond_grid(
+                p, u, grid_arrays, tm=grid.model_tile, axis=axis,
+                n_dev=n_dev, m_shard=m_shard, scene_tile=tn,
+                max_candidates=max_candidates, interpret=interp,
+                payload_dim=3,
+            )
+            y = y.astype(dt)
+            nv = nv.astype(dt)
+            if trim_fraction > 0.0:
+                tau = _distributed_quantile(
+                    d2.astype(dt), w_loc, 1.0 - trim_fraction, axis
+                )
+                w_eff = w_loc * (d2.astype(dt) <= tau).astype(w_loc.dtype)
+            else:
+                w_eff = w_loc
+            if gicp:
+                Cy = disk_covariances(nv, eps)
+                sim, p_new, err = _gicp_system(
+                    p, y, Cy, cov_p, weights=w_eff, axis=axis
+                )
+                cov_p = jnp.einsum(
+                    "ij,njk,lk->nil", sim.R, cov_p, sim.R,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                r = jnp.sum(nv * (p - y), axis=1) * w_eff
+                J = jnp.concatenate(
+                    [jnp.cross(p, nv), nv], axis=1
+                ) * w_eff[:, None]
+                HI = jax.lax.Precision.HIGHEST
+                A = jax.lax.psum(
+                    jnp.einsum("ni,nj->ij", J, J, precision=HI), axis)
+                b = jax.lax.psum(
+                    jnp.einsum("ni,n->i", J, r, precision=HI), axis)
+                x = -jnp.linalg.solve(A + 1e-9 * jnp.eye(6, dtype=dt), b)
+                sim = Similarity(s=jnp.asarray(1.0, dt),
+                                 R=_rodrigues(x[:3]), t=x[3:])
+                p_new = apply_similarity(p, sim)
+                nw = jax.lax.psum(jnp.sum(w_eff), axis)
+                err = jax.lax.psum(
+                    jnp.sum((jnp.sum(nv * (p_new - y), axis=1)
+                             * w_eff) ** 2), axis
+                ) / nw
+            d = y - p_new
+            u_next = jnp.sum(d * d, axis=1).astype(jnp.float32)
+            return p_new, cov_p, compose(sim_tot, sim), err, it + 1, u_next
+
+        def cond(carry):
+            _, _, _, err, it, _ = carry
+            return jnp.logical_and(it < max_iter, err >= threshold)
+
+        def body(carry):
+            p, cov_p, sim_tot, _, it, u = carry
+            return step(p, cov_p, sim_tot, it, u)
+
+        init = (
+            p0,
+            cov0,
+            identity_similarity(dt),
+            jnp.asarray(jnp.inf, dt),
+            jnp.asarray(0, jnp.int32),
+            u0,
+        )
+        p, _, sim_tot, err, it, _ = jax.lax.while_loop(cond, body, init)
+        return p[inv_slots], sim_tot, err, it
+
+    shard = PartitionSpec(axis, None)
+    cov_spec = PartitionSpec(axis, None, None) if gicp else PartitionSpec()
+    out = jax.shard_map(
+        local_icp,
+        mesh=mesh,
+        in_specs=(shard, shard, shard, cov_spec, PartitionSpec(axis)),
+        out_specs=(shard, PartitionSpec(), PartitionSpec(), PartitionSpec()),
+        check_vma=False,
+    )(model_pad, normals_pad, scene_pad, covs_pad, scene_mask)
+    p, sim_tot, err, it = out
+    return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
+
+
+def gn_sharded_grid(
+    model,
+    scene,
+    config: ICPConfig | None = None,
+    *,
+    engine: str,
+    model_normals=None,
+    scene_normals=None,
+    normal_k: int = 16,
+    eps: float = 1e-3,
+    mesh: Mesh | None = None,
+):
+    """Sharded grid-pruned point-to-plane / GICP entry (dispatched from
+    ``icp_point_to_plane_sharded`` / ``icp_generalized_sharded`` when the
+    NN method resolves to ``"grid"``)."""
+    from icp_tpu.engine.gicp import disk_covariances
+    from icp_tpu.ops.normals import estimate_normals
+
+    cfg = config or ICPConfig()
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    gicp = engine == "gicp"
+
+    model_j = jnp.asarray(model, cfg.dtype)
+    if model_normals is None:
+        model_normals = estimate_normals(model_j, k=normal_k)
+    dtype = np.dtype(cfg.dtype)
+    model_np = np.asarray(model, dtype)
+    scene_np = np.asarray(scene, dtype)
+    normals_np = np.asarray(model_normals, np.float32)
+    n = scene_np.shape[0]
+
+    scene_pad = _pad_rows(scene_np, n_dev, 0.0)
+    model_pad = _pad_rows(model_np, n_dev, 1.0e17)
+    normals_pad = _pad_rows(normals_np, n_dev, 0.0)
+    mask = np.zeros((scene_pad.shape[0],), dtype)
+    mask[:n] = 1.0
+
+    if gicp:
+        if scene_normals is None:
+            scene_normals = estimate_normals(
+                jnp.asarray(scene, cfg.dtype), k=normal_k
+            )
+        cov_s = np.asarray(
+            disk_covariances(jnp.asarray(scene_normals, cfg.dtype), eps),
+            dtype,
+        )
+        n_extra = scene_pad.shape[0] - n
+        covs_pad = cov_s if n_extra == 0 else np.concatenate(
+            [cov_s,
+             np.broadcast_to(np.eye(3, dtype=dtype), (n_extra, 3, 3))],
+            axis=0,
+        )
+    else:
+        covs_pad = np.zeros((), dtype)
+
+    shard = NamedSharding(mesh, PartitionSpec(axis, None))
+    row = NamedSharding(mesh, PartitionSpec(axis))
+    cov_sh = (NamedSharding(mesh, PartitionSpec(axis, None, None))
+              if gicp else NamedSharding(mesh, PartitionSpec()))
+    res = _gn_sharded_grid_jit(
+        jax.device_put(model_pad, shard),
+        jax.device_put(normals_pad, shard),
+        jax.device_put(scene_pad, shard),
+        jax.device_put(covs_pad, cov_sh),
+        jax.device_put(mask, row),
+        jnp.asarray(cfg.threshold, cfg.dtype),
+        mesh=mesh,
+        engine=engine,
+        max_iter=cfg.max_iter,
+        trim_fraction=cfg.trim_fraction,
+        eps=eps,
+        scene_tile_target=cfg.grid_scene_tile,
+        model_tile_target=cfg.grid_model_tile,
+        max_candidates=cfg.grid_max_candidates,
+    )
+    return ICPResult(points=res.points[:n], transform=res.transform,
+                     err=res.err, iters=res.iters)

@@ -89,7 +89,7 @@ def test_sharded_grid_tie_breaks_to_lowest_global_index(mesh8):
         grid = build_model_grid(m_loc, target_tile=128)
         y, gi, d = _ring_correspond_grid(
             p_loc, jnp.full((p_loc.shape[0],), 3.0e38, jnp.float32),
-            (grid.tiles_t, grid.tile_lo, grid.tile_hi, grid.model_orig),
+            (grid.tiles_t, grid.tile_lo, grid.tile_hi, grid.model_orig, 0),
             tm=grid.model_tile, axis="points", n_dev=n_dev,
             m_shard=m_shard, scene_tile=8, max_candidates=32,
             interpret=True,
@@ -136,3 +136,48 @@ def test_sharded_grid_trimmed_converges(mesh8, rng):
     res = icp_sharded(model, scene, cfg, mesh=mesh8)
     # kept correspondences converge tightly despite the outliers
     assert float(res.err) < 1e-3
+
+
+def test_sharded_grid_p2pl_matches_single_grid(mesh8, rng):
+    from icp_tpu.engine.point_to_plane import (
+        icp_point_to_plane,
+        icp_point_to_plane_sharded,
+    )
+    from icp_tpu.ops.normals import estimate_normals
+    from tests.test_point_to_plane import _small_rigid, _wavy_surface
+
+    model = _wavy_surface(rng, 1100)
+    R, t = _small_rigid(rng)
+    scene = (model[:800] - t) @ R
+    normals = estimate_normals(jnp.asarray(model, jnp.float64), k=12)
+    cfg = ICPConfig(max_iter=25, dtype=jnp.float64, nn_method="grid",
+                    grid_model_tile=128, grid_scene_tile=64,
+                    validate_inputs=False, threshold=1e-12)
+    single = icp_point_to_plane(model, scene, cfg, normals=normals)
+    sharded = icp_point_to_plane_sharded(model, scene, cfg, normals=normals,
+                                         mesh=mesh8)
+    assert int(sharded.iters) == int(single.iters)
+    np.testing.assert_allclose(np.asarray(sharded.points),
+                               np.asarray(single.points), atol=1e-7)
+
+
+def test_sharded_grid_gicp_matches_single_grid(mesh8, rng):
+    from icp_tpu.engine.gicp import icp_generalized, icp_generalized_sharded
+    from icp_tpu.ops.normals import estimate_normals
+    from tests.test_point_to_plane import _small_rigid, _wavy_surface
+
+    model = _wavy_surface(rng, 1000)
+    R, t = _small_rigid(rng)
+    scene = (model[:700] - t) @ R
+    mn = estimate_normals(jnp.asarray(model, jnp.float64), k=12)
+    sn = estimate_normals(jnp.asarray(scene, jnp.float64), k=12)
+    cfg = ICPConfig(max_iter=25, dtype=jnp.float64, nn_method="grid",
+                    grid_model_tile=128, grid_scene_tile=64,
+                    validate_inputs=False, threshold=1e-12)
+    single = icp_generalized(model, scene, cfg, model_normals=mn,
+                             scene_normals=sn)
+    sharded = icp_generalized_sharded(model, scene, cfg, model_normals=mn,
+                                      scene_normals=sn, mesh=mesh8)
+    assert int(sharded.iters) == int(single.iters)
+    np.testing.assert_allclose(np.asarray(sharded.points),
+                               np.asarray(single.points), atol=1e-7)
