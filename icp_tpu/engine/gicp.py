@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from icp_tpu.config import ICPConfig
-from icp_tpu.engine.icp import ICPResult, _validate
+from icp_tpu.engine.icp import ICPResult, ICPTrace, _validate
 from icp_tpu.engine.point_to_plane import _rodrigues
 from icp_tpu.ops.alignment import Similarity
 from icp_tpu.ops.distance import closest_point_indices
@@ -129,7 +129,7 @@ def _gicp_step(p, cov_p, model, cov_m, *, nn_method, scene_tile, model_tile,
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "nn_method", "scene_tile", "model_tile",
-                     "trim_fraction"),
+                     "trim_fraction", "trace"),
 )
 def _gicp_while(
     model,
@@ -143,6 +143,7 @@ def _gicp_while(
     scene_tile: int,
     model_tile: int,
     trim_fraction: float = 0.0,
+    trace: bool = False,
     init_sim=None,
 ):
     dt = scene.dtype
@@ -155,11 +156,11 @@ def _gicp_while(
         )
 
     def cond(carry):
-        _, _, _, err, it = carry
+        _, _, _, err, it, _ = carry
         return jnp.logical_and(it < max_iter, err >= threshold)
 
     def body(carry):
-        p, cov_p, sim_tot, _, it = carry
+        p, cov_p, sim_tot, _, it, errs = carry
         p_new, sim, err = _gicp_step(
             p, cov_p, model, cov_m, nn_method=nn_method,
             scene_tile=scene_tile, model_tile=model_tile,
@@ -170,7 +171,11 @@ def _gicp_while(
             "ij,njk,lk->nil", sim.R, cov_p, sim.R,
             precision=jax.lax.Precision.HIGHEST,
         )
-        return p_new, cov_p, compose(sim_tot, sim), err, it + 1
+        if trace:
+            errs = jax.lax.dynamic_update_index_in_dim(
+                errs, err.astype(errs.dtype), it, 0
+            )
+        return p_new, cov_p, compose(sim_tot, sim), err, it + 1, errs
 
     init = (
         scene,
@@ -178,15 +183,17 @@ def _gicp_while(
         identity_similarity(dt) if init_sim is None else init_sim,
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
+        jnp.full((max_iter,), jnp.nan, dt) if trace else 0,
     )
-    p, _, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
-    return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
+    p, _, sim_tot, err, it, errs = jax.lax.while_loop(cond, body, init)
+    result = ICPResult(points=p, transform=sim_tot, err=err, iters=it)
+    return ICPTrace(result=result, errs=errs) if trace else result
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "scene_tile_target", "model_tile_target",
-                     "max_candidates", "trim_fraction", "eps"),
+                     "max_candidates", "trim_fraction", "eps", "trace"),
 )
 def _gicp_grid(
     model,
@@ -201,6 +208,7 @@ def _gicp_grid(
     max_candidates: int = 16,
     trim_fraction: float = 0.0,
     eps: float = 1e-3,
+    trace: bool = False,
     init_sim=None,
 ):
     """Grid-pruned GICP loop (``nn_method="grid"``).
@@ -245,7 +253,7 @@ def _gicp_grid(
     u0 = bound_from_indices(p0, grid, idx0)
 
     def body(carry):
-        p, cov_p, sim_tot, _, it, u = carry
+        p, cov_p, sim_tot, _, it, u, errs = carry
         _, y, nv, d2 = closest_point_indices_grid(
             p, grid, u, scene_tile=tn, max_candidates=max_candidates,
             interpret=interp,
@@ -267,7 +275,11 @@ def _gicp_grid(
         )
         d = y - p_new
         u_next = jnp.sum(d * d, axis=1).astype(jnp.float32)
-        return p_new, cov_p, compose(sim_tot, sim), err, it + 1, u_next
+        if trace:
+            errs = jax.lax.dynamic_update_index_in_dim(
+                errs, err.astype(errs.dtype), it, 0
+            )
+        return p_new, cov_p, compose(sim_tot, sim), err, it + 1, u_next, errs
 
     init = (
         p0,
@@ -276,13 +288,15 @@ def _gicp_grid(
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
         u0,
+        jnp.full((max_iter,), jnp.nan, dt) if trace else 0,
     )
-    p, _, sim_tot, err, it, _ = jax.lax.while_loop(
+    p, _, sim_tot, err, it, _, errs = jax.lax.while_loop(
         lambda c: jnp.logical_and(c[4] < max_iter, c[3] >= threshold),
         body, init,
     )
-    return ICPResult(points=p[inv_slots], transform=sim_tot, err=err,
-                     iters=it)
+    result = ICPResult(points=p[inv_slots], transform=sim_tot, err=err,
+                       iters=it)
+    return ICPTrace(result=result, errs=errs) if trace else result
 
 
 def icp_generalized(
@@ -295,6 +309,7 @@ def icp_generalized(
     normal_k: int = 16,
     eps: float = 1e-3,
     init=None,
+    trace: bool = False,
 ):
     """Generalized (plane-to-plane) ICP.  Normals for BOTH clouds are
     estimated via kNN-PCA if not given; ``eps`` is the across-surface
@@ -326,6 +341,7 @@ def icp_generalized(
             max_candidates=cfg.grid_max_candidates,
             trim_fraction=cfg.trim_fraction,
             eps=eps,
+            trace=trace,
             init_sim=None if init is None else _cast_sim(init, cfg.dtype),
         )
     cov_m = disk_covariances(jnp.asarray(model_normals, cfg.dtype), eps)
@@ -340,6 +356,7 @@ def icp_generalized(
         scene_tile=cfg.scene_tile,
         model_tile=cfg.model_tile,
         trim_fraction=cfg.trim_fraction,
+        trace=trace,
         init_sim=None if init is None else _cast_sim(init, cfg.dtype),
     )
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from icp_tpu.config import ICPConfig
-from icp_tpu.engine.icp import ICPResult, _validate
+from icp_tpu.engine.icp import ICPResult, ICPTrace, _validate
 from icp_tpu.ops.alignment import Similarity
 from icp_tpu.ops.distance import closest_point_indices
 from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
@@ -95,7 +95,7 @@ def _p2pl_step(p, model, normals, *, nn_method, scene_tile, model_tile,
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "scene_tile_target", "model_tile_target",
-                     "max_candidates", "trim_fraction"),
+                     "max_candidates", "trim_fraction", "trace"),
 )
 def _icp_p2pl_grid(
     model,
@@ -108,6 +108,7 @@ def _icp_p2pl_grid(
     model_tile_target: int = 1024,
     max_candidates: int = 16,
     trim_fraction: float = 0.0,
+    trace: bool = False,
     init_sim=None,
 ):
     """Grid-pruned point-to-plane loop (``nn_method="grid"``).
@@ -144,7 +145,7 @@ def _icp_p2pl_grid(
     n_pad = p0.shape[0]
 
     def body(carry):
-        p, sim_tot, _, it, u = carry
+        p, sim_tot, _, it, u, errs = carry
         _, y, nv, d2 = closest_point_indices_grid(
             p, grid, u, scene_tile=tn, max_candidates=max_candidates,
             interpret=interp,
@@ -172,7 +173,11 @@ def _icp_p2pl_grid(
         d = y - p_new
         err = jnp.sum((jnp.sum(nv * d, axis=1) * w_eff) ** 2) / jnp.sum(w_eff)
         u_next = jnp.sum(d * d, axis=1).astype(jnp.float32)
-        return p_new, compose(sim_tot, sim), err, it + 1, u_next
+        if trace:
+            errs = jax.lax.dynamic_update_index_in_dim(
+                errs, err.astype(errs.dtype), it, 0
+            )
+        return p_new, compose(sim_tot, sim), err, it + 1, u_next, errs
 
     init = (
         p0,
@@ -180,19 +185,21 @@ def _icp_p2pl_grid(
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
         u0,
+        jnp.full((max_iter,), jnp.nan, dt) if trace else 0,
     )
-    p, sim_tot, err, it, _ = jax.lax.while_loop(
+    p, sim_tot, err, it, _, errs = jax.lax.while_loop(
         lambda c: jnp.logical_and(c[3] < max_iter, c[2] >= threshold),
         body, init,
     )
-    return ICPResult(points=p[inv_slots], transform=sim_tot, err=err,
-                     iters=it)
+    result = ICPResult(points=p[inv_slots], transform=sim_tot, err=err,
+                       iters=it)
+    return ICPTrace(result=result, errs=errs) if trace else result
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_iter", "nn_method", "scene_tile", "model_tile",
-                     "trim_fraction"),
+                     "trim_fraction", "trace"),
 )
 def _icp_p2pl_while(
     model,
@@ -205,6 +212,7 @@ def _icp_p2pl_while(
     scene_tile: int,
     model_tile: int,
     trim_fraction: float = 0.0,
+    trace: bool = False,
     init_sim=None,
 ):
     dt = scene.dtype
@@ -212,26 +220,32 @@ def _icp_p2pl_while(
         scene = apply_similarity(scene, init_sim)
 
     def cond(carry):
-        _, _, err, it = carry
+        _, _, err, it, _ = carry
         return jnp.logical_and(it < max_iter, err >= threshold)
 
     def body(carry):
-        p, sim_tot, _, it = carry
+        p, sim_tot, _, it, errs = carry
         p_new, sim, err = _p2pl_step(
             p, model, normals, nn_method=nn_method,
             scene_tile=scene_tile, model_tile=model_tile,
             trim_fraction=trim_fraction,
         )
-        return p_new, compose(sim_tot, sim), err, it + 1
+        if trace:
+            errs = jax.lax.dynamic_update_index_in_dim(
+                errs, err.astype(errs.dtype), it, 0
+            )
+        return p_new, compose(sim_tot, sim), err, it + 1, errs
 
     init = (
         scene,
         identity_similarity(dt) if init_sim is None else init_sim,
         jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
+        jnp.full((max_iter,), jnp.nan, dt) if trace else 0,
     )
-    p, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
-    return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
+    p, sim_tot, err, it, errs = jax.lax.while_loop(cond, body, init)
+    result = ICPResult(points=p, transform=sim_tot, err=err, iters=it)
+    return ICPTrace(result=result, errs=errs) if trace else result
 
 
 def icp_point_to_plane_sharded(
@@ -366,6 +380,7 @@ def icp_point_to_plane(
     normals=None,
     normal_k: int = 16,
     init=None,
+    trace: bool = False,
 ):
     """Register ``scene`` onto ``model`` minimizing point-to-plane distance.
 
@@ -397,6 +412,7 @@ def icp_point_to_plane(
             model_tile_target=cfg.grid_model_tile,
             max_candidates=cfg.grid_max_candidates,
             trim_fraction=cfg.trim_fraction,
+            trace=trace,
             init_sim=None if init is None else _cast_sim(init, cfg.dtype),
         )
     return _icp_p2pl_while(
@@ -409,5 +425,6 @@ def icp_point_to_plane(
         scene_tile=cfg.scene_tile,
         model_tile=cfg.model_tile,
         trim_fraction=cfg.trim_fraction,
+        trace=trace,
         init_sim=None if init is None else _cast_sim(init, cfg.dtype),
     )

@@ -170,3 +170,18 @@ def test_point_to_plane_sharded_trimmed(rng):
     res = icp_point_to_plane_sharded(model, scene, cfg, mesh=mesh)
     np.testing.assert_allclose(np.asarray(res.transform.R), R, atol=1e-3)
     np.testing.assert_allclose(np.asarray(res.transform.t), t, atol=1e-3)
+
+
+def test_point_to_plane_trace(rng):
+    model = _wavy_surface(rng, 900)
+    R, t = _small_rigid(rng)
+    scene = (model[:700] - t) @ R
+    for nn in ("bcast", "grid"):
+        cfg = ICPConfig(max_iter=20, dtype=jnp.float64, nn_method=nn,
+                        validate_inputs=False, threshold=1e-12)
+        tr = icp_point_to_plane(model, scene, cfg, trace=True)
+        it = int(tr.result.iters)
+        errs = np.asarray(tr.errs)[:it]
+        assert np.isfinite(errs).all() and len(errs) == it
+        assert errs[-1] == pytest.approx(float(tr.result.err))
+        assert errs[0] > errs[-1]
