@@ -36,7 +36,7 @@ _NUM_PREFIX = re.compile(
     r"[+-]?0[xX](?:[0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)"
     r"(?:[pP][+-]?\d+)?"
     r"|[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
-    r"|[+-]?inf(?:inity)?|[+-]?nan)",
+    r"|[+-]?inf(?:inity)?|[+-]?nan(?:\([0-9a-zA-Z_]*\))?)",
     re.IGNORECASE,
 )
 
@@ -44,6 +44,11 @@ _NUM_PREFIX = re.compile(
 def _strtod(tok: str) -> float:
     if tok.lstrip("+-")[:2].lower() == "0x":
         return float.fromhex(tok)
+    # C99 strtod consumes an optional nan(n-char-seq) payload; Python's
+    # float() does not, so strip it (the payload never affects the value
+    # for doubles in practice).
+    if "(" in tok:
+        tok = tok[: tok.index("(")]
     return float(tok)
 
 

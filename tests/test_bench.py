@@ -67,3 +67,66 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def _run_bench(extra_env, timeout=300):
+    import os
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               **extra_env)
+    env.pop("ICP_BENCH_TEST_HANG", None)
+    env.update(extra_env)
+    return subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True, text=True, env=env, timeout=timeout,
+    )
+
+
+def test_bench_success_path_emits_one_json_line():
+    proc = _run_bench({})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "icp_iter_per_s_cow"
+    assert rec["unit"] == "iter/s"
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] > 0
+
+
+def test_bench_watchdog_kills_hung_phase_and_diagnoses():
+    """The round-2 failure mode: the tunnel hangs inside backend init / remote
+    compile.  The supervisor must kill the exact child process group, retry,
+    and emit a diagnostic JSON line instead of hanging the driver."""
+    proc = _run_bench({
+        "ICP_BENCH_TEST_HANG": "gate",
+        "ICP_BENCH_GATE_TIMEOUT": "3",
+        "ICP_BENCH_ATTEMPTS": "2",
+        "ICP_BENCH_BACKOFF": "1",
+    }, timeout=240)
+    assert proc.returncode == 1
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["value"] == 0.0
+    assert "watchdog" in rec["error"]
+    att = rec["diagnostic"]["attempts"]
+    assert len(att) == 2
+    assert all(a["phase"] == "gate" for a in att)
+
+
+def test_bench_retry_recovers_from_one_bad_attempt(tmp_path):
+    """First attempt hangs (flag file present -> child consumes it and
+    sleeps), watchdog kills it, second attempt runs clean -> rc 0."""
+    flag = tmp_path / "hang_once"
+    flag.write_text("")
+    proc = _run_bench({
+        "ICP_BENCH_TEST_HANG_ONCE_FILE": str(flag),
+        "ICP_BENCH_INIT_TIMEOUT": "10",
+        "ICP_BENCH_ATTEMPTS": "2",
+        "ICP_BENCH_BACKOFF": "1",
+    })
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = json.loads(proc.stdout.strip())
+    assert rec["value"] > 0
+    assert not flag.exists()
