@@ -9,7 +9,8 @@ Reference surface (``src/main.cc:6-25``, ``src/GPU/main.cc:3-21``):
 
 Extras beyond the reference (flags, all optional): ``--threshold``,
 ``--solver``, ``--nn``, ``--dtype``, ``--no-scale``, ``--no-validate``,
-``--output``, ``--mse`` (plain-MSE error metric), ``--sharded`` (multi-chip),
+``--output``, ``--mse`` (plain-MSE error metric), ``--engine``
+(point_to_point / point_to_plane / gicp), ``--sharded`` (multi-chip),
 ``--checkpoint`` / ``--checkpoint-every`` / ``--resume`` (periodic state
 saves + kill-safe resume), ``--metrics`` (structured JSON run record).
 
@@ -51,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mse", action="store_true",
                    help="report plain MSE instead of the reference's 2x metric")
     p.add_argument("--output", default="output.txt")
+    p.add_argument("--engine", default="point_to_point",
+                   choices=["point_to_point", "point_to_plane", "gicp"],
+                   help="registration metric (single-device AND --sharded)")
     p.add_argument("--sharded", action="store_true",
                    help="shard points over all available devices")
     p.add_argument("--checkpoint", default=None, metavar="PATH",
@@ -121,6 +125,13 @@ def main(argv=None) -> int:
     if len(modes) > 1:
         print(f"{' and '.join(modes)} cannot be combined", file=sys.stderr)
         return -1
+    if args.engine != "point_to_point" and (
+        args.checkpoint_every or args.resume or args.metrics
+    ):
+        # the GN engines have no resumable/metrics drivers (yet)
+        print(f"--engine {args.engine} supports only the plain and "
+              "--sharded run modes", file=sys.stderr)
+        return -1
 
     try:
         if args.checkpoint_every or args.resume:
@@ -134,9 +145,18 @@ def main(argv=None) -> int:
             )
             errs, iters = None, int(res.iters)
         elif args.sharded:
-            from icp_tpu.parallel.sharded import icp_sharded
+            if args.engine == "point_to_plane":
+                from icp_tpu.engine.point_to_plane import (
+                    icp_point_to_plane_sharded as run_sharded,
+                )
+            elif args.engine == "gicp":
+                from icp_tpu.engine.gicp import (
+                    icp_generalized_sharded as run_sharded,
+                )
+            else:
+                from icp_tpu.parallel.sharded import icp_sharded as run_sharded
 
-            tr = icp_sharded(model, scene, cfg, trace=True)
+            tr = run_sharded(model, scene, cfg, trace=True)
             res = tr.result
             iters = int(res.iters)
             errs = np.asarray(tr.errs)[:iters]
@@ -152,7 +172,16 @@ def main(argv=None) -> int:
                 f.write(rec.to_json() + "\n")
             print(f"[metrics] written to {args.metrics}", file=sys.stderr)
         else:
-            tr = icp(model, scene, cfg, trace=True)
+            if args.engine == "point_to_plane":
+                from icp_tpu.engine.point_to_plane import icp_point_to_plane
+
+                tr = icp_point_to_plane(model, scene, cfg, trace=True)
+            elif args.engine == "gicp":
+                from icp_tpu.engine.gicp import icp_generalized
+
+                tr = icp_generalized(model, scene, cfg, trace=True)
+            else:
+                tr = icp(model, scene, cfg, trace=True)
             res = tr.result
             iters = int(res.iters)
             errs = np.asarray(tr.errs)[:iters]

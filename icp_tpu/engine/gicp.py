@@ -371,13 +371,16 @@ def icp_generalized_sharded(
     normal_k: int = 16,
     eps: float = 1e-3,
     mesh=None,
+    trace: bool = False,
 ):
     """Multi-chip GICP: scene + its covariances sharded over the points
     mesh; model + ITS covariances ride the ring ``ppermute`` fold as payload
     (the winning (point, covariance) pair is gathered during the fold — no
     device ever holds the full model); the 6x6 covariance-weighted normal
     equations are psum-reduced and the solve + Rodrigues run replicated.
-    Supports trimmed GICP via the distributed histogram quantile."""
+    Supports trimmed GICP via the distributed histogram quantile.
+    ``trace=True`` returns an ``ICPTrace`` with the per-iteration
+    Mahalanobis errors (same observability contract as every other engine)."""
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -391,7 +394,7 @@ def icp_generalized_sharded(
         return gn_sharded_grid(
             model, scene, config, engine="gicp",
             model_normals=model_normals, scene_normals=scene_normals,
-            normal_k=normal_k, eps=eps, mesh=mesh,
+            normal_k=normal_k, eps=eps, mesh=mesh, trace=trace,
         )
     from icp_tpu.parallel.sharded import (
         _distributed_quantile,
@@ -461,11 +464,11 @@ def icp_generalized_sharded(
             dt = p_loc.dtype
 
             def cond(carry):
-                _, _, _, err, it = carry
+                err, it = carry[3], carry[4]
                 return jnp.logical_and(it < max_iter, err >= threshold)
 
             def body(carry):
-                p, cov_p, sim_tot, _, it = carry
+                p, cov_p, sim_tot, _, it = carry[:5]
                 y, _, (cy_flat,) = _ring_correspond(
                     p, m_loc, axis=axis, n_dev=n_dev, nn_impl=nn_impl,
                     payload=(cm_loc,),
@@ -487,23 +490,35 @@ def icp_generalized_sharded(
                     "ij,njk,lk->nil", sim.R, cov_p.reshape(-1, 3, 3), sim.R,
                     precision=jax.lax.Precision.HIGHEST,
                 ).reshape(-1, 9)
-                return p_new, cov_p2, compose(sim_tot, sim), err, it + 1
+                out = (p_new, cov_p2, compose(sim_tot, sim), err, it + 1)
+                if trace:
+                    errs = jax.lax.dynamic_update_index_in_dim(
+                        carry[5], err.astype(carry[5].dtype), it, 0
+                    )
+                    out = out + (errs,)
+                return out
 
             init = (p_loc, cs_loc, identity_similarity(dt),
                     jnp.asarray(jnp.inf, dt), jnp.asarray(0, jnp.int32))
-            p, _, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
-            return p, sim_tot, err, it
+            if trace:
+                init = init + (jnp.full((max_iter,), jnp.nan, dt),)
+            out = jax.lax.while_loop(cond, body, init)
+            p, _, sim_tot, err, it = out[:5]
+            return (p, sim_tot, err, it) + ((out[5],) if trace else ())
 
         from jax.sharding import PartitionSpec as P
 
+        out_specs = (P(axis, None), P(), P(), P()) + ((P(),) if trace else ())
         return jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(P(axis, None), P(axis, None), P(axis, None),
                       P(axis, None), P(axis)),
-            out_specs=(P(axis, None), P(), P(), P()),
+            out_specs=out_specs,
             check_vma=False,
         )(m_loc, cm_loc, p_loc, cs_loc, w_loc)
 
-    p, sim_tot, err, it = run(*args)
-    return ICPResult(points=p[:n], transform=sim_tot, err=err, iters=it)
+    out = run(*args)
+    p, sim_tot, err, it = out[:4]
+    result = ICPResult(points=p[:n], transform=sim_tot, err=err, iters=it)
+    return ICPTrace(result=result, errs=out[4]) if trace else result

@@ -256,16 +256,20 @@ def icp_point_to_plane_sharded(
     normals=None,
     normal_k: int = 16,
     mesh=None,
+    trace: bool = False,
 ):
     """Multi-chip point-to-plane: scene AND model sharded over the points
     mesh; correspondence via the ring ``ppermute`` fold with the normals
     riding the ring as payload (the winning normal is gathered during the
     fold — no device ever holds the full model or an O(N_loc x M) buffer,
     unlike the earlier all-gather + bcast formulation); 6x6 normal equations
-    psum-reduced, solve + Rodrigues replicated."""
+    psum-reduced, solve + Rodrigues replicated.  ``trace=True`` returns an
+    ``ICPTrace`` with the per-iteration plane-residual errors (same
+    observability contract as every other engine)."""
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec
 
+    from icp_tpu.engine.icp import ICPTrace
     from icp_tpu.ops.normals import estimate_normals
     from icp_tpu.parallel.mesh import make_mesh
     from icp_tpu.parallel.sharded import _pad_rows, _ring_correspond
@@ -278,6 +282,7 @@ def icp_point_to_plane_sharded(
         return gn_sharded_grid(
             model, scene, cfg, engine="point_to_plane",
             model_normals=normals, normal_k=normal_k, mesh=mesh,
+            trace=trace,
         )
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
@@ -317,11 +322,11 @@ def icp_point_to_plane_sharded(
             dt = p_loc.dtype
 
             def cond(carry):
-                _, _, err, it = carry
+                err, it = carry[2], carry[3]
                 return jnp.logical_and(it < max_iter, err >= threshold)
 
             def body(carry):
-                p, sim_tot, _, it = carry
+                p, sim_tot, _, it = carry[:4]
                 y, _, (nv,) = _ring_correspond(
                     p, m_loc, axis=axis, n_dev=n_dev, nn_impl=nn_impl,
                     payload=(nrm_loc,),
@@ -351,25 +356,35 @@ def icp_point_to_plane_sharded(
                 err = jax.lax.psum(
                     jnp.sum((jnp.sum(nv * (p_new - y), axis=1) * w_eff) ** 2), axis
                 ) / nw
-                return p_new, compose(sim_tot, sim), err, it + 1
+                out = (p_new, compose(sim_tot, sim), err, it + 1)
+                if trace:
+                    errs = jax.lax.dynamic_update_index_in_dim(
+                        carry[4], err.astype(carry[4].dtype), it, 0
+                    )
+                    out = out + (errs,)
+                return out
 
             init = (p_loc, identity_similarity(dt), jnp.asarray(jnp.inf, dt),
                     jnp.asarray(0, jnp.int32))
-            p, sim_tot, err, it = jax.lax.while_loop(cond, body, init)
-            return p, sim_tot, err, it
+            if trace:
+                init = init + (jnp.full((max_iter,), jnp.nan, dt),)
+            return jax.lax.while_loop(cond, body, init)
 
         from jax.sharding import PartitionSpec as P
 
+        out_specs = (P(axis, None), P(), P(), P()) + ((P(),) if trace else ())
         return jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
-            out_specs=(P(axis, None), P(), P(), P()),
+            out_specs=out_specs,
             check_vma=False,
         )(m_loc, nrm_loc, p_loc, w_loc)
 
-    p, sim_tot, err, it = run(*args)
-    return ICPResult(points=p[:n], transform=sim_tot, err=err, iters=it)
+    out = run(*args)
+    p, sim_tot, err, it = out[:4]
+    result = ICPResult(points=p[:n], transform=sim_tot, err=err, iters=it)
+    return ICPTrace(result=result, errs=out[4]) if trace else result
 
 
 def icp_point_to_plane(

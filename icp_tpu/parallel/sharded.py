@@ -538,6 +538,24 @@ def _unpad_result(out, n: int, trace: bool):
     return ICPTrace(result=res, errs=out.errs) if trace else res
 
 
+def _check_trace_bound(trace: bool, n_iters, max_iter: int) -> None:
+    """The trace buffer is statically sized (max_iter,); a dynamic bound
+    beyond it would silently overwrite the last slot (dynamic_update clamps
+    out-of-range indices).  Reject that combination host-side (n_iters is a
+    host value at every call site; skip if it is somehow traced)."""
+    if not trace or n_iters is None:
+        return
+    try:
+        bound = int(n_iters)
+    except (TypeError, jax.errors.TracerIntegerConversionError):
+        return
+    if bound > max_iter:
+        raise ValueError(
+            f"trace=True records at most config.max_iter={max_iter} "
+            f"iterations but n_iters={bound}; raise max_iter or drop trace"
+        )
+
+
 def _pad_rows(arr: np.ndarray, mult: int, fill: float) -> np.ndarray:
     n = arr.shape[0]
     n_pad = -(-n // mult) * mult
@@ -564,6 +582,7 @@ def icp_sharded(
     ``config.max_iter`` — one compiled program serves every count
     (benchmarking / chunked runs)."""
     cfg = config or ICPConfig()
+    _check_trace_bound(trace, n_iters, cfg.max_iter)
     mesh = mesh or make_mesh()
     if cfg.resolved_nn_method(jax.default_backend()) == "grid":
         # spatially-pruned ring fold (parallel/sharded_grid.py); ``ring``

@@ -51,6 +51,7 @@ from icp_tpu.ops.alignment import alignment_from_stats
 from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
 from icp_tpu.parallel.mesh import make_mesh
 from icp_tpu.parallel.sharded import (
+    _check_trace_bound,
     _distributed_quantile,
     _masked_stats,
     _pad_rows,
@@ -315,6 +316,7 @@ def icp_sharded_grid(
     list, and their huge distances keep them out of every fold.
     """
     cfg = config or ICPConfig()
+    _check_trace_bound(trace, n_iters, cfg.max_iter)
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
@@ -361,7 +363,7 @@ def icp_sharded_grid(
     jax.jit,
     static_argnames=(
         "mesh", "engine", "max_iter", "trim_fraction", "eps",
-        "scene_tile_target", "model_tile_target", "max_candidates",
+        "scene_tile_target", "model_tile_target", "max_candidates", "trace",
     ),
 )
 def _gn_sharded_grid_jit(
@@ -380,6 +382,7 @@ def _gn_sharded_grid_jit(
     scene_tile_target: int = 256,
     model_tile_target: int = 1024,
     max_candidates: int = 16,
+    trace: bool = False,
 ):
     """Sharded grid-pruned GN loop shared by point-to-plane and GICP.
 
@@ -475,12 +478,18 @@ def _gn_sharded_grid_jit(
             return p_new, cov_p, compose(sim_tot, sim), err, it + 1, u_next
 
         def cond(carry):
-            _, _, _, err, it, _ = carry
+            err, it = carry[3], carry[4]
             return jnp.logical_and(it < max_iter, err >= threshold)
 
         def body(carry):
-            p, cov_p, sim_tot, _, it, u = carry
-            return step(p, cov_p, sim_tot, it, u)
+            p, cov_p, sim_tot, _, it, u = carry[:6]
+            out = step(p, cov_p, sim_tot, it, u)
+            if trace:
+                errs = jax.lax.dynamic_update_index_in_dim(
+                    carry[6], out[3].astype(carry[6].dtype), it, 0
+                )
+                out = out + (errs,)
+            return out
 
         init = (
             p0,
@@ -490,20 +499,25 @@ def _gn_sharded_grid_jit(
             jnp.asarray(0, jnp.int32),
             u0,
         )
-        p, _, sim_tot, err, it, _ = jax.lax.while_loop(cond, body, init)
-        return p[inv_slots], sim_tot, err, it
+        if trace:
+            init = init + (jnp.full((max_iter,), jnp.nan, dt),)
+        out = jax.lax.while_loop(cond, body, init)
+        p, _, sim_tot, err, it = out[:5]
+        return (p[inv_slots], sim_tot, err, it) + ((out[6],) if trace else ())
 
     shard = PartitionSpec(axis, None)
     cov_spec = PartitionSpec(axis, None, None) if gicp else PartitionSpec()
+    rep = PartitionSpec()
     out = jax.shard_map(
         local_icp,
         mesh=mesh,
         in_specs=(shard, shard, shard, cov_spec, PartitionSpec(axis)),
-        out_specs=(shard, PartitionSpec(), PartitionSpec(), PartitionSpec()),
+        out_specs=(shard, rep, rep, rep) + ((rep,) if trace else ()),
         check_vma=False,
     )(model_pad, normals_pad, scene_pad, covs_pad, scene_mask)
-    p, sim_tot, err, it = out
-    return ICPResult(points=p, transform=sim_tot, err=err, iters=it)
+    p, sim_tot, err, it = out[:4]
+    result = ICPResult(points=p, transform=sim_tot, err=err, iters=it)
+    return ICPTrace(result=result, errs=out[4]) if trace else result
 
 
 def gn_sharded_grid(
@@ -517,10 +531,12 @@ def gn_sharded_grid(
     normal_k: int = 16,
     eps: float = 1e-3,
     mesh: Mesh | None = None,
+    trace: bool = False,
 ):
     """Sharded grid-pruned point-to-plane / GICP entry (dispatched from
     ``icp_point_to_plane_sharded`` / ``icp_generalized_sharded`` when the
-    NN method resolves to ``"grid"``)."""
+    NN method resolves to ``"grid"``).  ``trace=True`` returns an
+    ``ICPTrace`` with the per-iteration error sequence."""
     from icp_tpu.engine.gicp import disk_covariances
     from icp_tpu.ops.normals import estimate_normals
 
@@ -567,7 +583,7 @@ def gn_sharded_grid(
     row = NamedSharding(mesh, PartitionSpec(axis))
     cov_sh = (NamedSharding(mesh, PartitionSpec(axis, None, None))
               if gicp else NamedSharding(mesh, PartitionSpec()))
-    res = _gn_sharded_grid_jit(
+    out = _gn_sharded_grid_jit(
         jax.device_put(model_pad, shard),
         jax.device_put(normals_pad, shard),
         jax.device_put(scene_pad, shard),
@@ -582,6 +598,6 @@ def gn_sharded_grid(
         scene_tile_target=cfg.grid_scene_tile,
         model_tile_target=cfg.grid_model_tile,
         max_candidates=cfg.grid_max_candidates,
+        trace=trace,
     )
-    return ICPResult(points=res.points[:n], transform=res.transform,
-                     err=res.err, iters=res.iters)
+    return _unpad_result(out, n, trace)

