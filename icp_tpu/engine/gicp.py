@@ -226,6 +226,7 @@ def _gicp_grid(
         build_model_grid,
         closest_point_indices_grid,
         initial_bound_indices,
+        next_bound,
     )
 
     _BIG = 3.0e38
@@ -273,8 +274,7 @@ def _gicp_grid(
             "ij,njk,lk->nil", sim.R, cov_p, sim.R,
             precision=jax.lax.Precision.HIGHEST,
         )
-        d = y - p_new
-        u_next = jnp.sum(d * d, axis=1).astype(jnp.float32)
+        u_next = next_bound(y, p_new)
         if trace:
             errs = jax.lax.dynamic_update_index_in_dim(
                 errs, err.astype(errs.dtype), it, 0

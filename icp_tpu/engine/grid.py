@@ -38,6 +38,7 @@ from icp_tpu.kernels.nn_grid import (
     initial_bound_indices,
     kd_order,
     levels_for,
+    next_bound,
 )
 from icp_tpu.ops.alignment import alignment_from_stats, compute_alignment_stats
 from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
@@ -83,7 +84,9 @@ def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
         y = y.astype(p.dtype)
         if trim_fraction > 0.0:
             # kernel d2 is f32; recompute in the engine dtype when wider so
-            # the trim threshold matches the dense engine bit-for-bit
+            # the trim threshold matches the dense engine (up to the f32
+            # quantization of the kernel-emitted matched points y — the
+            # grid path's correspondences are f32-exact, not f64-exact)
             if p.dtype != jnp.float32:
                 d2 = jnp.sum((y - p) ** 2, axis=1)
             # quantile over REAL rows: padded rows sit at the sentinel and
@@ -121,8 +124,9 @@ def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
         err = (2.0 * err_sum / n_eff) if reference_compat else (err_sum / n_eff)
         # next iteration's culling bounds: distance to this iteration's
         # match after the transform — a model point, hence a valid upper
-        # bound on the new NN distance.  No gather needed.
-        return p_new, new_state, err, d2_new.astype(jnp.float32)
+        # bound on the new NN distance.  No gather needed.  Computed from
+        # the f32-cast pair (NOT d2_new downcast) — see next_bound.
+        return p_new, new_state, err, next_bound(y, p_new)
 
     return step
 

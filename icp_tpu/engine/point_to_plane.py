@@ -126,6 +126,7 @@ def _icp_p2pl_grid(
         build_model_grid,
         closest_point_indices_grid,
         initial_bound_indices,
+        next_bound,
     )
 
     dt = scene.dtype
@@ -172,7 +173,7 @@ def _icp_p2pl_grid(
         p_new = apply_similarity(p, sim)
         d = y - p_new
         err = jnp.sum((jnp.sum(nv * d, axis=1) * w_eff) ** 2) / jnp.sum(w_eff)
-        u_next = jnp.sum(d * d, axis=1).astype(jnp.float32)
+        u_next = next_bound(y, p_new)
         if trace:
             errs = jax.lax.dynamic_update_index_in_dim(
                 errs, err.astype(errs.dtype), it, 0

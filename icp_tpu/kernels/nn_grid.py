@@ -351,6 +351,21 @@ def bound_from_indices(scene: jax.Array, grid: ModelGrid,
     )
 
 
+def next_bound(y: jax.Array, p_new: jax.Array) -> jax.Array:
+    """(N,) f32 culling bounds for the NEXT iteration: squared distance to
+    this iteration's matched model point after the transform.
+
+    Always computed from the f32-CAST pair — the same rounded coordinates
+    the kernel measures against next iteration — never by downcasting a
+    wider-precision residual.  Near convergence an f64 residual can cancel
+    BELOW the f32 distance to the very same point, and a bound tighter than
+    what the kernel can observe may cull the tile holding the true f32 NN
+    (the ~1e-5 relative ``_UPPER_INFLATE`` margin only absorbs f32
+    rounding, not f64-vs-f32 cancellation)."""
+    d = y.astype(jnp.float32) - p_new.astype(jnp.float32)
+    return jnp.sum(d * d, axis=1)
+
+
 # NOTE: not jax.jit-wrapped (same nested-jit lowering-cache hazard as
 # nn_pallas); callers jit the enclosing program.
 def closest_point_indices_pruned(

@@ -46,6 +46,7 @@ from icp_tpu.kernels.nn_grid import (
     initial_bound_indices,
     kd_order,
     levels_for,
+    next_bound,
 )
 from icp_tpu.ops.alignment import alignment_from_stats
 from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
@@ -238,7 +239,7 @@ def _icp_sharded_grid_jit(
             # next iteration's culling bound: residual to this iteration's
             # match (a model point) — gather-free, same as engine/grid.py
             return p_new, compose(sim_tot, sim), err, it + 1, \
-                d2_new.astype(jnp.float32)
+                next_bound(y, p_new)
 
         init = (
             p0,
@@ -473,8 +474,7 @@ def _gn_sharded_grid_jit(
                     jnp.sum((jnp.sum(nv * (p_new - y), axis=1)
                              * w_eff) ** 2), axis
                 ) / nw
-            d = y - p_new
-            u_next = jnp.sum(d * d, axis=1).astype(jnp.float32)
+            u_next = next_bound(y, p_new)
             return p_new, cov_p, compose(sim_tot, sim), err, it + 1, u_next
 
         def cond(carry):

@@ -170,3 +170,19 @@ def test_payload_emission_matches_gather(rng):
     )
     np.testing.assert_array_equal(np.asarray(idx2), want)
     np.testing.assert_array_equal(np.asarray(pl2), payload[want])
+
+
+def test_next_bound_f64_cancellation_stays_valid():
+    # ADVICE r2 #1: an f64 residual can cancel BELOW the f32 distance to the
+    # same matched point; using it (downcast) as the culling bound could
+    # prune the tile holding the true f32 NN.  next_bound computes from the
+    # f32-cast pair, so it can never undercut what the kernel measures.
+    from icp_tpu.kernels.nn_grid import _UPPER_INFLATE, next_bound
+
+    y = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float64)
+    # rounds to f32 1 + 2^-23 but sits 1.5*2^-24 away in f64
+    p = jnp.asarray([[1.0 + 1.5 * 2.0 ** -24, 0.0, 0.0]], jnp.float64)
+    f32_d2 = float(jnp.sum((y.astype(jnp.float32) - p.astype(jnp.float32)) ** 2))
+    old_bound = float(jnp.sum((y - p) ** 2).astype(jnp.float32))
+    assert old_bound * _UPPER_INFLATE < f32_d2  # the hazard the fix removes
+    assert float(next_bound(y, p)[0]) >= f32_d2
