@@ -117,8 +117,10 @@ def _gicp_step(p, cov_p, model, cov_m, *, nn_method, scene_tile, model_tile,
     y = jnp.take(model, idx, axis=0)
     Cy = jnp.take(cov_m, idx, axis=0)
     if trim_fraction > 0.0:
+        from icp_tpu.ops.quantile import histogram_quantile
+
         d2 = jnp.sum((y - p) ** 2, axis=1)
-        tau = jnp.quantile(d2, 1.0 - trim_fraction)
+        tau = histogram_quantile(d2, 1.0 - trim_fraction)
         w = (d2 <= tau).astype(p.dtype)
     else:
         w = None
@@ -262,10 +264,12 @@ def _gicp_grid(
         y = y.astype(dt)
         Cy = disk_covariances(nv.astype(dt), eps)
         if trim_fraction > 0.0:
+            from icp_tpu.ops.quantile import histogram_quantile
+
             if p.dtype != jnp.float32:
                 d2 = jnp.sum((y - p) ** 2, axis=1)
-            q = (1.0 - trim_fraction) * (n - 1) / max(n_pad - 1, 1)
-            tau = jnp.quantile(jnp.where(w > 0, d2, _BIG), q)
+            # masked histogram: padded rows (w=0) are excluded, no q rescale
+            tau = histogram_quantile(d2, 1.0 - trim_fraction, w)
             w_eff = w * (d2 <= tau).astype(w.dtype)
         else:
             w_eff = w

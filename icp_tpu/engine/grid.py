@@ -70,8 +70,7 @@ def _prepare_scene(scene: jax.Array, target_tile: int):
 
 def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
                   reference_compat: bool, trim_fraction: float, tn: int,
-                  max_candidates: int, interp: bool, n_real: int,
-                  n_pad: int):
+                  max_candidates: int, interp: bool):
     """One grid-pruned ICP iteration: (p, state, u_prev) ->
     (p_new, state', err, u_next)."""
     fused = solver == "qcp_fused"
@@ -89,10 +88,11 @@ def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
             # grid path's correspondences are f32-exact, not f64-exact)
             if p.dtype != jnp.float32:
                 d2 = jnp.sum((y - p) ** 2, axis=1)
-            # quantile over REAL rows: padded rows sit at the sentinel and
-            # occupy the top ranks, so rescale q onto the real prefix.
-            q = (1.0 - trim_fraction) * (n_real - 1) / max(n_pad - 1, 1)
-            tau = jnp.quantile(jnp.where(w > 0, d2, _BIG), q)
+            from icp_tpu.ops.quantile import histogram_quantile
+
+            # masked histogram quantile over REAL rows (padded rows have
+            # w=0 and are excluded — no prefix rescale needed)
+            tau = histogram_quantile(d2, 1.0 - trim_fraction, w)
             w_eff = w * (d2 <= tau).astype(w.dtype)
         else:
             w_eff = w
@@ -188,7 +188,6 @@ def _icp_grid(
     # sort, first-iteration bounds from a model subsample.
     grid = build_model_grid(model, target_tile=model_tile_target)
     p0, w, inv_slots, tn, _ = _prepare_scene(scene, scene_tile_target)
-    n_pad = p0.shape[0]
     stride = max(1, min(bound_stride, model.shape[0] // 4))
     idx0 = initial_bound_indices(p0, grid.model_orig, stride=stride,
                                  interpret=interp)
@@ -198,7 +197,6 @@ def _icp_grid(
         grid, w, solver=solver, with_scale=with_scale,
         reference_compat=reference_compat, trim_fraction=trim_fraction,
         tn=tn, max_candidates=max_candidates, interp=interp,
-        n_real=n, n_pad=n_pad,
     )
 
     state0 = _init_state(solver, dt, init_sim)

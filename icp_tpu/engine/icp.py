@@ -59,9 +59,16 @@ def _trim_weights(p: jax.Array, y: jax.Array, trim_fraction: float):
     """Trimmed-ICP weights: keep the (1 - trim_fraction) best correspondences
     by current squared distance (robust to partial overlap / outliers — a
     capability the reference lacks entirely).  Static trim_fraction == 0.0
-    compiles to the exact untrimmed program."""
+    compiles to the exact untrimmed program.
+
+    Threshold via the 2-round histogram quantile (``ops/quantile.py``) —
+    the ``jnp.quantile`` sort was an O(N log N) device sort per iteration
+    (material at 1M-point scale) and diverged from the sharded engines'
+    distributed histogram; now every path computes the same tau."""
+    from icp_tpu.ops.quantile import histogram_quantile
+
     d2 = jnp.sum((y - p) ** 2, axis=1)
-    tau = jnp.quantile(d2, 1.0 - trim_fraction)
+    tau = histogram_quantile(d2, 1.0 - trim_fraction)
     return (d2 <= tau).astype(p.dtype)
 
 

@@ -65,11 +65,13 @@ def _p2pl_step(p, model, normals, *, nn_method, scene_tile, model_tile,
     r = jnp.sum(n * (p - y), axis=1)  # (N,) signed plane distances
     J = jnp.concatenate([jnp.cross(p, n), n], axis=1)  # (N, 6)
     if trim_fraction > 0.0:
+        from icp_tpu.ops.quantile import histogram_quantile
+
         # trim by EUCLIDEAN correspondence distance (same robustness notion
         # as the point-to-point/GICP engines — the plane residual can be
         # tiny for a gross outlier sliding along a surface)
         d2 = jnp.sum((y - p) ** 2, axis=1)
-        tau = jnp.quantile(d2, 1.0 - trim_fraction)
+        tau = histogram_quantile(d2, 1.0 - trim_fraction)
         w = (d2 <= tau).astype(p.dtype)
         r = r * w
         J = J * w[:, None]
@@ -142,9 +144,6 @@ def _icp_p2pl_grid(
                                  interpret=interp)
     u0 = bound_from_indices(p0, grid, idx0)
 
-    n_real = scene.shape[0]
-    n_pad = p0.shape[0]
-
     def body(carry):
         p, sim_tot, _, it, u, errs = carry
         _, y, nv, d2 = closest_point_indices_grid(
@@ -154,13 +153,13 @@ def _icp_p2pl_grid(
         y = y.astype(dt)
         nv = nv.astype(dt)
         if trim_fraction > 0.0:
+            from icp_tpu.ops.quantile import histogram_quantile
+
             # Euclidean-distance trim (same notion as the other engines);
-            # quantile rescaled onto the real-row prefix, padded rows at
-            # the sentinel (see engine/grid.py)
+            # masked histogram — padded rows (w=0) excluded
             if dt != jnp.float32:
                 d2 = jnp.sum((y - p) ** 2, axis=1)
-            q = (1.0 - trim_fraction) * (n_real - 1) / max(n_pad - 1, 1)
-            tau = jnp.quantile(jnp.where(w > 0, d2, 3.0e38), q)
+            tau = histogram_quantile(d2, 1.0 - trim_fraction, w)
             w_eff = w * (d2 <= tau).astype(w.dtype)
         else:
             w_eff = w

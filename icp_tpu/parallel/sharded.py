@@ -79,23 +79,13 @@ def _distributed_quantile(d2, w, q, axis: str, rounds: int = 2,
     Two rounds of 32-bin histogram refinement = ~1/1024 relative bracket,
     costing ``rounds`` psums of a (bins,) vector — the distributed stand-in
     for ``jnp.quantile`` that trimmed ICP needs (an exact distributed sort
-    would be absurd for a 30%-trim threshold).
+    would be absurd for a 30%-trim threshold).  Shared implementation:
+    ``ops/quantile.py`` (the single-device engines use the axis-free
+    variant, so trim thresholds agree across shardings by construction).
     """
-    dt = d2.dtype
-    lo = jnp.zeros((), dt)
-    hi = jax.lax.pmax(jnp.max(jnp.where(w > 0, d2, 0.0)), axis) + jnp.asarray(1e-12, dt)
-    n_total = jax.lax.psum(jnp.sum(w), axis)
-    target = q * n_total
-    for _ in range(rounds):
-        edges = lo + (hi - lo) * jnp.arange(1, bins + 1, dtype=dt) / bins
-        cnt = jax.lax.psum(
-            jnp.sum(w[:, None] * (d2[:, None] <= edges[None, :]), axis=0), axis
-        )
-        ok = cnt >= target
-        idx = jnp.argmax(ok)  # first bin covering the target count
-        lo = jnp.where(idx > 0, edges[jnp.maximum(idx - 1, 0)], lo)
-        hi = edges[idx]
-    return hi
+    from icp_tpu.ops.quantile import histogram_quantile
+
+    return histogram_quantile(d2, q, w, axis=axis, rounds=rounds, bins=bins)
 
 
 def _masked_stats(p, y, w, axis: str) -> AlignmentStats:

@@ -105,3 +105,58 @@ def test_trimmed_sharded_2d_matches_single(rng):
         np.asarray(sharded.transform.t), np.asarray(single.transform.t),
         atol=1e-3,
     )
+
+
+def test_histogram_quantile_brackets_exact(rng):
+    from icp_tpu.ops.quantile import histogram_quantile
+
+    d2 = jnp.asarray(rng.gamma(2.0, 1.0, 4096), jnp.float64)
+    rng_width = float(jnp.max(d2))
+    for q in (0.5, 0.7, 0.9, 0.999):
+        tau = float(histogram_quantile(d2, q))
+        kept = float(jnp.sum(d2 <= tau)) / d2.shape[0]
+        assert kept >= q  # never trims more than asked (the hard guarantee)
+        # value-side guarantee: tau is the upper edge of a bracket of width
+        # <= range/32^2 containing the count-based order statistic
+        # x_(ceil(q*n)) (NOT the interpolated np.quantile — in a sparse tail
+        # the interpolation point can sit a whole inter-sample gap below)
+        k = int(np.ceil(q * d2.shape[0]))
+        x_k = float(np.sort(np.asarray(d2))[k - 1])
+        assert x_k <= tau * (1 + 1e-12)
+        assert tau - x_k <= rng_width / 32**2 * (1 + 1e-6), (q, tau, x_k)
+
+
+def test_histogram_quantile_mask_excludes_rows(rng):
+    from icp_tpu.ops.quantile import histogram_quantile
+
+    d2 = jnp.asarray(rng.gamma(2.0, 1.0, 1000), jnp.float64)
+    w = jnp.ones(1000, jnp.float64).at[::3].set(0.0)
+    # huge values on masked rows must not move tau at all
+    d2_poison = d2.at[::3].set(1e30)
+    t1 = float(histogram_quantile(d2, 0.8, w))
+    t2 = float(histogram_quantile(d2_poison, 0.8, w))
+    assert t1 == t2
+
+
+def test_trimmed_single_trace_equals_sharded_trace(rng):
+    """Single-device trim now uses the same histogram quantile as the
+    sharded engines; w is 0/1 so histogram counts are exact integers and
+    tau is bit-identical across shardings -> traces must agree."""
+    import jax
+
+    from icp_tpu.parallel.mesh import make_mesh
+    from icp_tpu.parallel.sharded import icp_sharded
+
+    world, scene, R, t = _make_outlier_problem(rng)
+    base = dict(max_iter=60, dtype=jnp.float64, solver="eigh",
+                nn_method="bcast", with_scale=False, validate_inputs=False,
+                trim_fraction=0.3)
+    single = icp(world, scene, ICPConfig(**base), trace=True)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = icp_sharded(world, scene, ICPConfig(**base), mesh=mesh,
+                          ring=True, trace=True)
+    it = int(sharded.result.iters)
+    assert it == int(single.result.iters)
+    np.testing.assert_allclose(np.asarray(sharded.errs)[:it],
+                               np.asarray(single.errs)[:it],
+                               rtol=1e-9, atol=1e-18)
