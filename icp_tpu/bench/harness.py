@@ -32,6 +32,14 @@ def _progress(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+# Measured exhaustive-NN speed-of-light on this chip class: the
+# register-resident chunked fold hits ~0.34-0.35 T point-pairs/s and PERF.md
+# establishes it as the VPU compute roofline for this op (docs/PERF.md
+# "Pallas chunked fold ... ~= the VPU compute roofline").  Used only to
+# normalize `pct_vpu_roofline` in the op rows.
+_VPU_ROOFLINE_PAIRS_PER_S = 0.35e12
+
+
 def repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -185,6 +193,7 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
 
         ops["closest_grid"] = nn_grid
 
+    n_pairs = ref.shape[0] * tr1.shape[0]  # correspondence problem size
     results = []
     for name, fn in ops.items():
         if include and name not in include:
@@ -193,9 +202,17 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         per = amortized_op_time(fn, (ref, tr1))
         # sub-us ops can difference to slightly negative under timing noise
         per = max(per, 1e-7)
-        results.append(
-            dict(benchmark=name, time_us=per * 1e6, rate_per_s=1.0 / per)
-        )
+        row = dict(benchmark=name, time_us=per * 1e6, rate_per_s=1.0 / per)
+        if name.startswith("closest"):
+            # normalized throughput + fraction of the measured VPU
+            # speed-of-light for the exhaustive-NN op class (dense kernels
+            # should sit near 1.0; grid rows exceed it — that is the point
+            # of pruning)
+            row["point_pairs_per_s"] = n_pairs / per
+            row["pct_vpu_roofline"] = round(
+                100.0 * n_pairs / per / _VPU_ROOFLINE_PAIRS_PER_S, 1
+            )
+        results.append(row)
         _progress(f"op {name}: {per*1e6:.1f} us")
 
     # Full fixed-iteration loop (the headline): amortized over iteration count.
@@ -221,6 +238,7 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
                 benchmark="full_loop_per_iter",
                 time_us=per_iter * 1e6,
                 rate_per_s=1.0 / per_iter,
+                point_pairs_per_s=n_pairs / per_iter,
                 wall_20_iters_ms=t_small * 1e3,
             )
         )
@@ -255,6 +273,7 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
                 benchmark="full_loop_grid_per_iter",
                 time_us=per_iter * 1e6,
                 rate_per_s=1.0 / per_iter,
+                point_pairs_per_s=n_pairs / per_iter,
                 wall_20_iters_ms=t_small * 1e3,
             )
         )
@@ -297,6 +316,7 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
                 benchmark="full_loop_sharded_per_iter",
                 time_us=per_iter * 1e6,
                 rate_per_s=1.0 / per_iter,
+                point_pairs_per_s=n_pairs / per_iter,
                 n_devices=n_dev,
                 wall_20_iters_ms=t_small * 1e3,
             )

@@ -130,3 +130,54 @@ def test_bench_retry_recovers_from_one_bad_attempt(tmp_path):
     rec = json.loads(proc.stdout.strip())
     assert rec["value"] > 0
     assert not flag.exists()
+
+
+def test_perf_gate_compares_artifacts(tmp_path):
+    # the regression gate must fail on >tolerance rate drops and on dropped
+    # metrics, pass otherwise, and read both artifact formats
+    import os
+    gate = "/root/repo/scripts/perf_gate.py"
+
+    old = tmp_path / "old.jsonl"
+    old.write_text(
+        '{"benchmark": "full_loop_per_iter", "rate_per_s": 25000.0, '
+        '"time_us": 40.0}\n'
+        '{"benchmark": "closest_pallas", "rate_per_s": 90000.0}\n'
+    )
+    new_ok = tmp_path / "new_ok.jsonl"
+    new_ok.write_text(
+        '{"benchmark": "full_loop_per_iter", "rate_per_s": 24000.0}\n'
+        '{"benchmark": "closest_pallas", "rate_per_s": 95000.0}\n'
+    )
+    new_bad = tmp_path / "new_bad.jsonl"
+    new_bad.write_text(
+        '{"benchmark": "full_loop_per_iter", "rate_per_s": 15000.0}\n'
+        '{"benchmark": "closest_pallas", "rate_per_s": 95000.0}\n'
+    )
+    new_dropped = tmp_path / "new_dropped.jsonl"
+    new_dropped.write_text(
+        '{"benchmark": "full_loop_per_iter", "rate_per_s": 25000.0}\n'
+    )
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+
+    def run(a, b):
+        return subprocess.run([sys.executable, gate, str(a), str(b)],
+                              capture_output=True, text=True, env=env)
+
+    assert run(old, new_ok).returncode == 0
+    r = run(old, new_bad)
+    assert r.returncode == 1 and "FAIL" in r.stdout
+    r = run(old, new_dropped)
+    assert r.returncode == 1 and "dropped" in r.stdout
+
+    # driver BENCH_rN.json format
+    bench_old = tmp_path / "BENCH_old.json"
+    bench_old.write_text(json.dumps({
+        "rc": 0, "parsed": {"metric": "icp_iter_per_s_cow",
+                            "value": 27016.8, "unit": "iter/s"}}))
+    bench_new = tmp_path / "BENCH_new.json"
+    bench_new.write_text(json.dumps({
+        "rc": 0, "parsed": {"metric": "icp_iter_per_s_cow",
+                            "value": 26000.0, "unit": "iter/s"}}))
+    assert run(bench_old, bench_new).returncode == 0
