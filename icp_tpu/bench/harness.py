@@ -193,6 +193,16 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
 
         ops["closest_grid"] = nn_grid
 
+        from icp_tpu.kernels.nn_bf16 import closest_point_indices_bf16
+
+        def nn_bf16(m, p, c):
+            # approximate bf16-MXU prefilter (kernels/nn_bf16.py): the row
+            # measures the MXU-vs-VPU distance-tile trade (flip rate /
+            # certified fraction measured separately in docs/PERF.md)
+            return closest_point_indices_bf16(p + c * _EPS, m)
+
+        ops["closest_bf16"] = nn_bf16
+
     n_pairs = ref.shape[0] * tr1.shape[0]  # correspondence problem size
     results = []
     for name, fn in ops.items():

@@ -73,6 +73,16 @@ def closest_point_indices(
         return nn_pallas.closest_point_indices_pallas(
             scene, model, scene_tile=scene_tile, model_tile=model_tile
         )
+    if method == "bf16":
+        # APPROXIMATE: bf16-MXU prefilter with exact recheck of the winner
+        # (kernels/nn_bf16.py) — argmins may flip among candidates within
+        # the bf16 cross-term error band; measured trade-off in docs/PERF.md
+        from icp_tpu.kernels import nn_bf16
+
+        idx, _, _ = nn_bf16.closest_point_indices_bf16(
+            scene, model, scene_tile=scene_tile, model_tile=model_tile
+        )
+        return idx
     raise ValueError(f"unknown nn method: {method}")
 
 
