@@ -104,6 +104,56 @@ def wall_time(fn, reps: int = 5):
 _EPS = 1e-20
 
 
+def _numpy_icp(ref: np.ndarray, scene: np.ndarray, n_iters: int):
+    """``n_iters`` sequential host-NumPy ICP iterations (brute-force chunked
+    NN + Horn quaternion solve + apply/error — the same per-iteration op
+    sequence as the device engines, f64 like the reference).  Returns
+    ``(wall_seconds, final_points)`` — the dual-engine baseline row."""
+    m = np.asarray(ref, np.float64)
+    p = np.asarray(scene, np.float64).copy()
+    mn = np.sum(m * m, axis=1)
+    chunk = max(1, int(2e7 // max(len(m), 1)))  # cap the distance block
+
+    def nn(p):
+        out = np.empty(len(p), np.int64)
+        for i in range(0, len(p), chunk):
+            blk = p[i:i + chunk]
+            d = mn[None, :] - 2.0 * (blk @ m.T)
+            out[i:i + chunk] = np.argmin(d, axis=1)
+        return out
+
+    def horn(p, y):
+        mu_p, mu_y = p.mean(0), y.mean(0)
+        pc, yc = p - mu_p, y - mu_y
+        S = pc.T @ yc
+        tr = np.trace(S)
+        delta = np.array([S[1, 2] - S[2, 1], S[2, 0] - S[0, 2],
+                          S[0, 1] - S[1, 0]])
+        N = np.empty((4, 4))
+        N[0, 0] = tr
+        N[0, 1:] = N[1:, 0] = delta
+        N[1:, 1:] = S + S.T - tr * np.eye(3)
+        w, V = np.linalg.eigh(N)
+        q = V[:, np.argmax(w)]
+        a, b, c, d = q
+        R = np.array([
+            [a*a + b*b - c*c - d*d, 2*(b*c - a*d), 2*(b*d + a*c)],
+            [2*(b*c + a*d), a*a - b*b + c*c - d*d, 2*(c*d - a*b)],
+            [2*(b*d - a*c), 2*(c*d + a*b), a*a - b*b - c*c + d*d],
+        ])
+        s = np.sqrt(np.sum(yc * yc) / max(np.sum(pc * pc), 1e-30))
+        t = mu_y - s * (R @ mu_p)
+        return s, R, t
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        y = m[nn(p)]
+        s, R, t = horn(p, y)
+        p = s * (p @ R.T) + t
+        _ = float(np.sum((y - p) ** 2))  # the error pass
+    return time.perf_counter() - t0, p
+
+
 def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
     """Run the op-level matrix; returns a list of result dicts."""
     import jax
@@ -290,6 +340,29 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         _progress(
             f"full loop (grid): {per_iter*1e6:.1f} us/iter "
             f"({1/per_iter:.0f} iter/s device-side)"
+        )
+
+    if not include or "full_loop_numpy" in include:
+        # Side-by-side dual-engine row (reference: bench links the CPU and
+        # GPU engines into ONE binary and reports both, src/bench.cc:391-447)
+        # — a sequential NumPy host engine doing the same per-iteration work
+        # (brute-force NN, Horn 4x4 solve, apply+error) timed in the same
+        # artifact, so one JSON compares the TPU path against its own host
+        # baseline the way the reference's bench compares CPU vs GPU.
+        _progress("full loop (numpy host engine) ...")
+        t_np, _ = _numpy_icp(ref_np, tr1_np, n_iters)
+        per_iter = t_np / n_iters
+        results.append(
+            dict(
+                benchmark="full_loop_numpy_per_iter",
+                time_us=per_iter * 1e6,
+                rate_per_s=1.0 / per_iter,
+                point_pairs_per_s=n_pairs / per_iter,
+            )
+        )
+        _progress(
+            f"full loop (numpy): {per_iter*1e6:.0f} us/iter "
+            f"({1/per_iter:.1f} iter/s host-side)"
         )
 
     if not include or "full_loop_sharded" in include:

@@ -181,3 +181,18 @@ def test_perf_gate_compares_artifacts(tmp_path):
         "rc": 0, "parsed": {"metric": "icp_iter_per_s_cow",
                             "value": 26000.0, "unit": "iter/s"}}))
     assert run(bench_old, bench_new).returncode == 0
+
+
+def test_numpy_host_engine_registers():
+    # the dual-engine baseline row must do real ICP work, not just burn
+    # time: 15 iterations on the exact-transform cow pair must land the
+    # scene on the model
+    import numpy as np
+
+    from icp_tpu.bench.harness import _numpy_icp, load_cow
+
+    ref, tr1 = load_cow()
+    ref, tr1 = ref[::10], tr1[::10]
+    wall, p = _numpy_icp(ref, tr1, 15)
+    assert wall > 0
+    assert np.abs(np.asarray(p) - np.asarray(ref, np.float64)).max() < 1e-3
