@@ -14,6 +14,7 @@ from icp_tpu.engine.point_to_plane import (
     icp_point_to_plane_sharded,
 )
 from icp_tpu.ops.normals import estimate_normals, orient_normals
+from icp_tpu.ops.voxel import voxel_downsample, voxel_downsample_np
 from icp_tpu.io.csv import load_matrix, write_matrix
 from icp_tpu.parallel.mesh import init_distributed, make_mesh
 from icp_tpu.parallel.sharded import icp_sharded, icp_sharded_2d, make_mesh_2d
@@ -58,6 +59,8 @@ __all__ = [
     "icp_point_to_plane_sharded",
     "estimate_normals",
     "orient_normals",
+    "voxel_downsample",
+    "voxel_downsample_np",
     "icp_fixed_iters",
     "icp_sharded",
     "icp_sharded_2d",

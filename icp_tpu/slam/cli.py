@@ -23,6 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=1e-5)
     p.add_argument("--subsample", type=int, default=1,
                    help="use every k-th point for registration (outputs are full)")
+    p.add_argument("--voxel", type=float, default=0.0, metavar="SIZE",
+                   help="voxel-grid downsample each scan to SIZE-sized voxel "
+                        "centroids for registration (outputs are full; "
+                        "composes with --subsample, voxel applied after)")
     p.add_argument("--multiscale", type=int, nargs="*", default=[1],
                    help="coarse-to-fine subsampling levels, e.g. 16 4 1 "
                         "(widens the convergence basin for distant views)")
@@ -62,6 +66,14 @@ def main(argv=None) -> int:
 
     clouds = [load_matrix(f) for f in args.clouds]
     reg_clouds = [c[:: args.subsample] for c in clouds]
+    if args.voxel > 0.0:
+        from icp_tpu.ops.voxel import voxel_downsample_np
+
+        reg_clouds = [voxel_downsample_np(c, args.voxel)[0]
+                      for c in reg_clouds]
+        for f, c in zip(args.clouds, reg_clouds):
+            print(f"[slam] voxel {args.voxel:g}: {f} -> {len(c)} pts",
+                  file=sys.stderr)
 
     cfg = ICPConfig(
         max_iter=args.max_iter,
