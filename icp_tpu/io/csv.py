@@ -77,6 +77,25 @@ def _parse_lines_exact(lines: list[str]) -> np.ndarray:
     return out
 
 
+def load_matrices(
+    paths: list[str], *, dtype=np.float64, use_native: bool = True
+) -> list[np.ndarray]:
+    """Load several clouds; the native path parses all files in parallel
+    (one C++ thread per file — the SLAM chain ingest).  Per-file semantics
+    identical to ``load_matrix`` (which is also the fallback)."""
+    if use_native and len(paths) > 1:
+        from icp_tpu.io import native
+
+        arrays = native.try_load_batch(list(paths))
+        if arrays is not None:
+            for p in paths:
+                print(f"[load] opening {p}", file=sys.stderr)
+                print("[load] loading file into matrix", file=sys.stderr)
+            return [a.astype(dtype, copy=False) for a in arrays]
+    return [load_matrix(p, dtype=dtype, use_native=use_native)
+            for p in paths]
+
+
 def load_matrix(
     path: str, *, dtype=np.float64, use_native: bool = True
 ) -> np.ndarray:

@@ -38,7 +38,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
         os.makedirs(build_dir, exist_ok=True)
         tmp = so_path + ".tmp"
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, src]
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+               "-o", tmp, src]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             os.replace(tmp, so_path)
@@ -61,6 +62,20 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_longlong,
+    ]
+    lib.icp_csv_count_rows_batch.restype = None
+    lib.icp_csv_count_rows_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_longlong),
+    ]
+    lib.icp_csv_load_batch.restype = None
+    lib.icp_csv_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_longlong,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_longlong),
     ]
     return lib
 
@@ -92,6 +107,32 @@ def try_load(path: str) -> Optional[np.ndarray]:
     if got != n:
         return None
     return out
+
+
+def try_load_batch(paths: list[str]) -> Optional[list[np.ndarray]]:
+    """Load several clouds with one threaded native call (the SLAM chain's
+    N-scan ingest: IO + parse are embarrassingly parallel across files).
+    Returns None on any failure (caller falls back per-file)."""
+    lib = get_lib()
+    if lib is None or not paths:
+        return None
+    if not all(os.path.exists(p) for p in paths):
+        return None
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    counts = (ctypes.c_longlong * n)()
+    lib.icp_csv_count_rows_batch(c_paths, n, counts)
+    if any(counts[i] < 0 for i in range(n)):
+        return None
+    arrays = [np.empty((counts[i], 3), np.float64) for i in range(n)]
+    ptrs = (ctypes.POINTER(ctypes.c_double) * n)(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) for a in arrays]
+    )
+    results = (ctypes.c_longlong * n)()
+    lib.icp_csv_load_batch(c_paths, n, ptrs, counts, results)
+    if any(results[i] != counts[i] for i in range(n)):
+        return None
+    return arrays
 
 
 def try_write(points: np.ndarray, path: str) -> bool:

@@ -60,11 +60,11 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from icp_tpu.config import ICPConfig
-    from icp_tpu.io.csv import load_matrix, write_matrix
+    from icp_tpu.io.csv import load_matrices, write_matrix
     from icp_tpu.ops.transform import apply_similarity
     from icp_tpu.slam.pairwise import chain_to_world_poses, register_chain
 
-    clouds = [load_matrix(f) for f in args.clouds]
+    clouds = load_matrices(args.clouds)  # threaded native multi-file parse
     reg_clouds = [c[:: args.subsample] for c in clouds]
     if args.voxel > 0.0:
         from icp_tpu.ops.voxel import voxel_downsample_np

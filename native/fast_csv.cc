@@ -13,6 +13,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -116,6 +117,57 @@ long long icp_csv_write(const char* path, const double* data, long long n) {
   }
   std::fclose(f);
   return n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched multi-file API (the SLAM chain loads N scans; IO + parse are
+// embarrassingly parallel across files).  One std::thread per file up to
+// hardware_concurrency; same per-file semantics as the single-file calls.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename Fn>
+void parallel_over_files(long long n_files, Fn&& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  long long n_workers = hw ? (long long)hw : 4;
+  if (n_workers > n_files) n_workers = n_files;
+  if (n_workers <= 1) {
+    for (long long i = 0; i < n_files; ++i) fn(i);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve((size_t)n_workers);
+  for (long long w = 0; w < n_workers; ++w) {
+    pool.emplace_back([=]() {
+      for (long long i = w; i < n_files; i += n_workers) fn(i);
+    });
+  }
+  for (auto& t : pool) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Row counts for n files in parallel; out_counts[i] = rows or -1.
+void icp_csv_count_rows_batch(const char* const* paths, long long n,
+                              long long* out_counts) {
+  parallel_over_files(n, [&](long long i) {
+    out_counts[i] = icp_csv_count_rows(paths[i]);
+  });
+}
+
+// Parse n files in parallel into caller-allocated buffers outs[i]
+// (capacities[i] rows each); results[i] = rows parsed or -1.
+void icp_csv_load_batch(const char* const* paths, long long n,
+                        double* const* outs, const long long* capacities,
+                        long long* results) {
+  parallel_over_files(n, [&](long long i) {
+    results[i] = icp_csv_load(paths[i], outs[i], capacities[i]);
+  });
 }
 
 }  // extern "C"

@@ -101,3 +101,44 @@ def test_load_hex_floats_strtod_parity(tmp_path):
     if native.get_lib() is not None:
         nat = native.try_load(str(f))
         np.testing.assert_array_equal(nat, arr)
+
+
+def test_load_matrices_batch_matches_single(tmp_path, rng):
+    # threaded native multi-file loader == per-file loads, including the
+    # odd-format cases the single-file suite pins (extra columns, garbage)
+    from icp_tpu.io.csv import load_matrices, load_matrix
+
+    paths = []
+    for i in range(5):
+        n = int(rng.integers(3, 200))
+        pts = rng.standard_normal((n, 3))
+        lines = ["Points_0,Points_1,Points_2"]
+        for row in pts:
+            lines.append(",".join(f"{x:.10g}" for x in row))
+        p = tmp_path / f"cloud{i}.txt"
+        p.write_text("\n".join(lines) + "\n")
+        paths.append(str(p))
+    # one file with extra columns + a garbage field
+    (tmp_path / "odd.txt").write_text(
+        "Points_0,Points_1,Points_2,Points_Magnitude\n"
+        "1.5,2.5,3.5,99\n"
+        "1.5abc,2,3\n"
+        "4,5,6,0\n"
+    )
+    paths.append(str(tmp_path / "odd.txt"))
+
+    batch = load_matrices(paths)
+    singles = [load_matrix(p) for p in paths]
+    assert len(batch) == len(singles)
+    for b, s in zip(batch, singles):
+        np.testing.assert_array_equal(b, s)
+
+
+def test_load_matrices_falls_back_without_native(tmp_path):
+    from icp_tpu.io.csv import load_matrices
+
+    p = tmp_path / "a.txt"
+    p.write_text("h\n1,2,3\n")
+    out = load_matrices([str(p), str(p)], use_native=False)
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0], [[1.0, 2.0, 3.0]])
