@@ -83,8 +83,10 @@ def measure() -> int:
 
     backend = jax.default_backend()
     # Force real backend initialization NOW so a dead tunnel fails (or hangs)
-    # inside the init phase, not mid-gate.
-    jnp.zeros(()).block_until_ready()
+    # inside the init phase, not mid-gate.  block_until_ready is async through
+    # the axon tunnel (CLAUDE.md rule 2) — only a scalar fetch proves the
+    # device completed work.
+    float(jnp.zeros(()))
 
     ref_np, tr1_np = load_cow()
     ref = jnp.asarray(ref_np, jnp.float32)
@@ -155,6 +157,8 @@ def measure() -> int:
         file=sys.stderr, flush=True,
     )
     _phase("done")
+    if os.environ.get("ICP_BENCH_TEST_DROP_VERDICT"):
+        return 0  # test hook: rc=0 with no JSON verdict (lost stdout)
     print(
         json.dumps(
             {
@@ -251,8 +255,10 @@ def _run_attempt(deadline: float, phase_timeouts: dict[str, float]) -> _Attempt:
         line = line.strip()
         if line.startswith("{"):
             attempt.json_line = line
-    if attempt.failure is None and attempt.rc != 0 and attempt.json_line is None:
-        attempt.failure = f"child exited rc={attempt.rc}"
+    if attempt.failure is None and attempt.json_line is None:
+        # Covers rc!=0 AND the pathological rc==0-with-no-verdict (stdout
+        # lost) — the diagnostic JSON must always carry a non-null error.
+        attempt.failure = f"child exited rc={attempt.rc} without a JSON verdict"
     return attempt
 
 

@@ -110,8 +110,6 @@ def _grid_step_fn(grid: ModelGrid, w, *, solver: str, with_scale: bool,
             )
             sim, _, err_sum = unpack_state(new_state)
             p_new = apply_similarity(p, sim)
-            d = y - p_new
-            d2_new = jnp.sum(d * d, axis=1)
         else:
             sim = alignment_from_stats(stats, solver=solver,
                                        with_scale=with_scale)

@@ -607,6 +607,14 @@ def icp(
     if n_iters is not None and (trace or guard):
         raise ValueError("n_iters is for plain runs; trace/guard paths "
                          "size buffers by config.max_iter")
+    if n_iters is not None and int(n_iters) > cfg.max_iter:
+        # max_iter is the hard iteration cap callers rely on; n_iters only
+        # lowers the bound within one compiled program (resumable chunking).
+        raise ValueError(
+            f"n_iters={int(n_iters)} exceeds config.max_iter={cfg.max_iter}; "
+            "n_iters is an early-exit bound, not a replacement "
+            "(use ICPConfig(max_iter=...) or icp_fixed_iters)"
+        )
     model = jnp.asarray(model, cfg.dtype)
     scene = jnp.asarray(scene, cfg.dtype)
     _validate(model, scene, cfg)

@@ -132,6 +132,19 @@ def test_bench_retry_recovers_from_one_bad_attempt(tmp_path):
     assert not flag.exists()
 
 
+def test_bench_rc0_without_verdict_diagnosed():
+    """A child that exits 0 with no JSON verdict (lost stdout) must still
+    yield a non-null error in the diagnostic JSON, not "error": null."""
+    proc = _run_bench({
+        "ICP_BENCH_TEST_DROP_VERDICT": "1",
+        "ICP_BENCH_ATTEMPTS": "1",
+    })
+    assert proc.returncode == 1
+    rec = json.loads(proc.stdout.strip())
+    assert rec["value"] == 0.0
+    assert "without a JSON verdict" in rec["error"]
+
+
 def test_perf_gate_compares_artifacts(tmp_path):
     # the regression gate must fail on >tolerance rate drops and on dropped
     # metrics, pass otherwise, and read both artifact formats

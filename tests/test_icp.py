@@ -85,6 +85,14 @@ def test_fixed_iters_runs_exact_count(cow_small):
     assert np.isfinite(np.asarray(res.points)).all()
 
 
+def test_n_iters_beyond_max_iter_rejected(cow_small):
+    # max_iter is the hard cap; n_iters may only lower the bound within one
+    # compiled program (resumable chunking) — never silently raise it
+    ref, tr1 = cow_small
+    with pytest.raises(ValueError, match="exceeds config.max_iter"):
+        icp(ref, tr1, ICPConfig(max_iter=10, nn_method="bcast"), n_iters=50)
+
+
 def test_validation_errors():
     p4 = jnp.zeros((3, 3))
     with pytest.raises(ValueError, match="at least 4"):

@@ -76,6 +76,40 @@ def test_voxel_downsample_registers_like_full_cloud(cow_pair):
     assert float(res.err) < 1e-4
 
 
+def test_voxel_empty_cloud(rng):
+    got, n = voxel_downsample_np(np.zeros((0, 3), np.float32), 0.5)
+    assert n == 0 and got.shape == (0, 3)
+    out, mask, n_vox = voxel_downsample(jnp.zeros((0, 3), jnp.float32), 0.5,
+                                        capacity=8)
+    assert int(n_vox) == 0 and not np.asarray(mask).any()
+
+
+def test_voxel_padding_is_inert(rng):
+    # n_valid padding (the size-bucketing path) must not move centroids,
+    # create voxels, or shift the lattice anchor
+    pts = rng.uniform(-1, 3, (300, 3)).astype(np.float32)
+    want, n_want = voxel_downsample_np(pts, 0.4)  # bucket 512, n_valid=300
+    pad = np.broadcast_to(pts[0], (212, 3))
+    padded = jnp.asarray(np.concatenate([pts, pad], axis=0))
+    out, mask, n_vox = voxel_downsample(padded, 0.4, capacity=512,
+                                        n_valid=300)
+    assert int(n_vox) == n_want
+    np.testing.assert_allclose(np.asarray(out)[:n_want], want,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_voxel_np_bucket_reuses_one_program(rng):
+    # distinct scan sizes within one power-of-two bucket must share one
+    # compiled program (multi-minute tunnel compiles otherwise; CLAUDE.md
+    # rule 3)
+    voxel_downsample_np(rng.standard_normal((300, 3)).astype(np.float32), 0.3)
+    before = voxel_downsample._cache_size()
+    for n in (257, 300, 389, 511, 512):
+        voxel_downsample_np(
+            rng.standard_normal((n, 3)).astype(np.float32), 0.3)
+    assert voxel_downsample._cache_size() == before
+
+
 def test_slam_cli_voxel_flag(tmp_path, rng):
     import os
     import subprocess
