@@ -13,6 +13,14 @@ from icp_tpu.engine.point_to_plane import (
     icp_point_to_plane,
     icp_point_to_plane_sharded,
 )
+from icp_tpu.engine.global_reg import (
+    GlobalRegResult,
+    compatibility_scores,
+    global_register,
+    match_features,
+    ransac_alignment,
+)
+from icp_tpu.ops.fpfh import fpfh_features
 from icp_tpu.ops.normals import estimate_normals, orient_normals
 from icp_tpu.ops.voxel import voxel_downsample, voxel_downsample_np
 from icp_tpu.io.csv import load_matrix, write_matrix
@@ -59,6 +67,12 @@ __all__ = [
     "icp_point_to_plane_sharded",
     "estimate_normals",
     "orient_normals",
+    "GlobalRegResult",
+    "compatibility_scores",
+    "global_register",
+    "match_features",
+    "ransac_alignment",
+    "fpfh_features",
     "voxel_downsample",
     "voxel_downsample_np",
     "icp_fixed_iters",

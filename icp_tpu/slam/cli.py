@@ -30,9 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multiscale", type=int, nargs="*", default=[1],
                    help="coarse-to-fine subsampling levels, e.g. 16 4 1 "
                         "(widens the convergence basin for distant views)")
-    p.add_argument("--init", default=None, choices=[None, "pca"],
+    p.add_argument("--init", default=None, choices=[None, "pca", "fpfh"],
                    help="per-pair global initialization (pca: principal-axis "
-                        "alignment; rescues large-rotation pairs)")
+                        "alignment, rescues large-rotation pairs; fpfh: "
+                        "feature matching + RANSAC, also handles partial "
+                        "overlap where PCA's whole-cloud axes diverge)")
     p.add_argument("--scale", action="store_true",
                    help="similarity (allow per-pair scale); default rigid")
     p.add_argument("--engine", default="point_to_point",

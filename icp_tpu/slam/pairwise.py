@@ -118,9 +118,12 @@ def register_pair(
     Each level runs ICP on every k-th point starting from the previous
     level's transform — most iterations run at coarse (1/k^2-cost) levels.
 
-    ``init``: optional global initialization — a ``Similarity``, or the
+    ``init``: optional global initialization — a ``Similarity``, the
     string ``"pca"`` for principal-axis alignment (rescues large-rotation
-    pairs that stall vanilla ICP; see ``initialize_pca``).
+    pairs that stall vanilla ICP; see ``initialize_pca``), or ``"fpfh"``
+    for feature-based global registration (FPFH + batched RANSAC,
+    ``engine/global_reg.py`` — handles partial overlap, where PCA's
+    whole-cloud axes diverge between views).
 
     ``engine``: registration metric — ``"point_to_point"`` (Horn, scale
     optional), ``"point_to_plane"`` or ``"gicp"`` (both rigid; converge in
@@ -139,6 +142,11 @@ def register_pair(
     if init == "pca":
         init = initialize_pca(model, scene,
                               with_scale=cfg.with_scale)
+    elif init == "fpfh":
+        from icp_tpu.engine.global_reg import global_register
+
+        init = global_register(model, scene,
+                               with_scale=cfg.with_scale).transform
     if init is None:
         total = identity_similarity(cfg.dtype)
     else:
