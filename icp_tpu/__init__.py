@@ -21,6 +21,14 @@ from icp_tpu.engine.global_reg import (
     ransac_alignment,
 )
 from icp_tpu.ops.fpfh import fpfh_features
+from icp_tpu.slam.closure import (
+    ClosureCandidate,
+    chain_edges_from_pairs,
+    detect_loop_closures,
+    overlap_fraction,
+    refine_closures,
+    verified_inlier_fraction,
+)
 from icp_tpu.ops.normals import estimate_normals, orient_normals
 from icp_tpu.ops.voxel import voxel_downsample, voxel_downsample_np
 from icp_tpu.io.csv import load_matrix, write_matrix
@@ -73,6 +81,12 @@ __all__ = [
     "match_features",
     "ransac_alignment",
     "fpfh_features",
+    "ClosureCandidate",
+    "chain_edges_from_pairs",
+    "detect_loop_closures",
+    "overlap_fraction",
+    "refine_closures",
+    "verified_inlier_fraction",
     "voxel_downsample",
     "voxel_downsample_np",
     "icp_fixed_iters",

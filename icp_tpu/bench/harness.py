@@ -365,6 +365,35 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
             f"({1/per_iter:.1f} iter/s host-side)"
         )
 
+    if not include or "global_register" in include:
+        # Global registration pipeline (FPFH + spectral filter + batched
+        # RANSAC, engine/global_reg.py) on a 150-degree pose offset of the
+        # workload cloud.  Wall time of the whole pipeline (descriptors for
+        # both clouds, matching, 512-hypothesis RANSAC) — no reference
+        # counterpart (its ICP is local-only); the row tracks the cost of
+        # the initialization a user pays once per pair.
+        from icp_tpu.engine.global_reg import global_register
+
+        ang = 2.618  # 150 degrees
+        R_g = np.array(
+            [[np.cos(ang), -np.sin(ang), 0.0],
+             [np.sin(ang), np.cos(ang), 0.0],
+             [0.0, 0.0, 1.0]], np.float32)
+        scene_rot = np.asarray(ref_np, np.float32) @ R_g.T + np.array(
+            [1.0, -2.0, 0.5], np.float32)
+
+        def run_greg():
+            res = global_register(ref_np, scene_rot, seed=0)
+            float(res.inlier_fraction)
+
+        _progress("global_register ...")
+        t_g = wall_time(run_greg, reps=3)
+        results.append(
+            dict(benchmark="global_register_wall",
+                 time_us=t_g * 1e6, rate_per_s=1.0 / t_g)
+        )
+        _progress(f"global_register: {t_g*1e3:.1f} ms wall")
+
     if not include or "full_loop_sharded" in include:
         # Sharded engine on whatever mesh this host has (1 chip on the axon
         # TPU: measures the shard_map + collectives overhead vs the plain

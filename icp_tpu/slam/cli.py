@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "worst matches per iteration")
     p.add_argument("--refine", action="store_true",
                    help="bundle-adjust poses after the chain")
+    p.add_argument("--detect-closures", action="store_true",
+                   help="detect non-adjacent overlapping scan pairs "
+                        "(FPFH + RANSAC), refine them with ICP, and "
+                        "pose-graph-optimize the chain with the closure "
+                        "edges (cancels accumulated drift)")
+    p.add_argument("--closure-min-inliers", type=float, default=0.15,
+                   metavar="FRAC",
+                   help="RANSAC inlier fraction required to accept a "
+                        "closure candidate")
     p.add_argument("--solver", default="auto")
     p.add_argument("--nn", default="auto")
     p.add_argument("--output-prefix", default="registered_")
@@ -96,6 +105,48 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
     poses = chain_to_world_poses(pairs)
+
+    if args.detect_closures:
+        from icp_tpu.slam.closure import (
+            chain_edges_from_pairs,
+            detect_loop_closures,
+            refine_closures,
+        )
+        from icp_tpu.slam.pose_graph import optimize_pose_graph
+
+        if args.scale:
+            print("[slam] note: pose-graph optimization is SE(3); closure "
+                  "edges and the optimized poses are rigid", file=sys.stderr)
+        cands = detect_loop_closures(
+            reg_clouds, inlier_min=args.closure_min_inliers,
+        )
+        for c in cands:
+            print(f"[slam] closure candidate {c.i}<-{c.j}: "
+                  f"inliers={c.inlier_fraction:.2f}", file=sys.stderr)
+        closure_edges, closure_results = refine_closures(
+            reg_clouds, cands, cfg, engine=args.engine,
+            multiscale=tuple(args.multiscale),
+        )
+        if closure_edges:
+            # every edge (chain AND closure) carries its feature-verified
+            # inlier fraction as the trust weight; trimmed-ICP error alone
+            # cannot distinguish a registered pair from a plausible
+            # mis-alignment (see closure.verified_inlier_fraction)
+            chain_edges, suspects = chain_edges_from_pairs(pairs, reg_clouds)
+            for k in suspects:
+                print(f"[slam] chain edge {k}->{k+1} is unverifiable "
+                      f"(feature-inliers={chain_edges[k].weight:.3f}, "
+                      f"err={pairs[k].err:g}); down-weighted in the pose "
+                      f"graph", file=sys.stderr)
+            # closures give the graph cycles, i.e. redundancy -> the robust
+            # kernel can down-weight residually inconsistent edges
+            poses, cost = optimize_pose_graph(
+                poses, chain_edges + closure_edges, n_iters=15,
+                robust_phi=1.0)
+            print(f"[slam] pose graph: {len(closure_edges)} closure "
+                  f"edge(s), cost={cost:g}", file=sys.stderr)
+        else:
+            print("[slam] no loop closures detected", file=sys.stderr)
 
     if args.refine:
         from icp_tpu.slam.pose_graph import bundle_adjust

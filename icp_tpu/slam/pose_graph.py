@@ -8,7 +8,13 @@ Two solvers, both jitted end-to-end:
 
   * ``optimize_pose_graph`` — edge-based Gauss-Newton/Levenberg-Marquardt on
     SE(3) poses (quaternion + translation parametrization, gauge fixed at
-    pose 0).  The problem is tiny (7P parameters); it runs replicated.
+    pose 0), optionally robust (Geman-McClure IRLS with graduated
+    non-convexity, ``robust_phi=``).  Per-edge residuals/Jacobians are
+    vmapped (an edge only touches its two poses — 14 local parameters) and
+    the normal matrix is assembled by scatter-adding 7x7 blocks, so edge
+    topology is DATA: one compiled program serves every graph with the
+    same (n_poses, n_edges) shape, and compile time is O(1) in edge count.
+    The dense (7P, 7P) solve runs replicated — fine to thousands of poses.
   * ``bundle_adjust`` / ``bundle_adjust_sharded`` — point-level joint
     refinement: residual per correspondence ``r_k = T_a x_k - T_b y_k``.
     The normal equations ``H = sum_k J_k^T J_k``, ``g = sum_k J_k^T r_k``
@@ -98,36 +104,82 @@ def _rot_to_quat_np(R: np.ndarray) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
-def _edge_residual(theta, i, j, R_meas, t_meas, weight):
-    qi = theta[i, :4]
-    qi = qi / jnp.linalg.norm(qi)
-    qj = theta[j, :4]
-    qj = qj / jnp.linalg.norm(qj)
-    Ri, Rj = quat_to_rot(qi), quat_to_rot(qj)
-    ti, tj = theta[i, 4:7], theta[j, 4:7]
-    r_rot = (Ri.T @ Rj - R_meas).reshape(-1)
-    r_t = Ri.T @ (tj - ti) - t_meas
-    return weight * jnp.concatenate([r_rot, r_t])
+def _edge_r_and_J(theta_i, theta_j, R_meas, t_meas, weight):
+    """Residual (12,) and Jacobian (12, 14) of ONE edge w.r.t. its two
+    poses' stacked parameters [theta_i(7), theta_j(7)].
+
+    An edge only touches poses i and j, so differentiating against the
+    14 local parameters (instead of the full 7P flat vector, as jacfwd
+    over a stacked residual list would) keeps the per-edge work O(1) in
+    graph size; the (7P, 7P) normal matrix is then assembled by
+    scatter-adding the four 7x7 blocks.
+    """
+
+    def r_fn(local):
+        th_i, th_j = local[:7], local[7:]
+        qi = th_i[:4] / jnp.linalg.norm(th_i[:4])
+        qj = th_j[:4] / jnp.linalg.norm(th_j[:4])
+        Ri, Rj = quat_to_rot(qi), quat_to_rot(qj)
+        r_rot = (Ri.T @ Rj - R_meas).reshape(-1)
+        r_t = Ri.T @ (th_j[4:7] - th_i[4:7]) - t_meas
+        return weight * jnp.concatenate([r_rot, r_t])
+
+    local = jnp.concatenate([theta_i, theta_j])
+    return r_fn(local), jax.jacfwd(r_fn)(local)
 
 
-@functools.partial(jax.jit, static_argnames=("edges_static", "n_iters"))
-def _optimize_jit(theta0, edge_R, edge_t, edge_w, *, edges_static, n_iters):
+@functools.partial(jax.jit, static_argnames=("n_iters", "robust"))
+def _optimize_jit(
+    theta0, edge_i, edge_j, edge_R, edge_t, edge_w, robust_phi, *,
+    n_iters, robust
+):
     n_poses = theta0.shape[0]
     dt = theta0.dtype
+    n_params = 7 * n_poses
 
-    def residuals(theta):
-        rs = [
-            _edge_residual(theta, i, j, edge_R[k], edge_t[k], edge_w[k])
-            for k, (i, j) in enumerate(edges_static)
-        ]
-        # quaternion-norm soft constraints keep the parametrization healthy
-        qn = jnp.array(
-            [jnp.sum(theta[p, :4] ** 2) - 1.0 for p in range(n_poses)], dt
+    def normal_terms(theta, phi):
+        """H (7P, 7P), g (7P,), cost — assembled from per-edge blocks."""
+        r, J = jax.vmap(_edge_r_and_J)(
+            theta[edge_i], theta[edge_j], edge_R, edge_t, edge_w
+        )  # (E, 12), (E, 12, 14)
+        if robust and phi is not None:
+            # Geman-McClure IRLS: each edge is reweighted by
+            # w = (phi / (phi + chi2))^2, chi2 = |r|^2.  Inlier edges
+            # (chi2 << phi) keep w = 1; an edge inconsistent with the rest
+            # of the graph keeps a large chi2 as the inliers converge, so
+            # its influence redescends as 1/chi2^2 — far below the bounded
+            # floor of e.g. DCS scaling, which measurably leaves ~10x more
+            # residual pose error here.  The weight is constant w.r.t. the
+            # Jacobian (IRLS).  This is what lets redundant loop-closure
+            # cycles overrule a garbage odometry edge instead of splitting
+            # the error with it (tests/test_slam.py, tests/test_closure.py).
+            chi2 = jnp.sum(r * r, axis=1)
+            w_gm = (phi / (phi + chi2)) ** 2
+            sw = jnp.sqrt(w_gm)
+            r = sw[:, None] * r
+            J = sw[:, None, None] * J
+        He = jnp.einsum("eri,erj->eij", J, J)  # (E, 14, 14)
+        ge = jnp.einsum("eri,er->ei", J, r)  # (E, 14)
+        H4 = jnp.zeros((n_poses, 7, n_poses, 7), dt)
+        H4 = H4.at[edge_i, :, edge_i, :].add(He[:, :7, :7])
+        H4 = H4.at[edge_i, :, edge_j, :].add(He[:, :7, 7:])
+        H4 = H4.at[edge_j, :, edge_i, :].add(He[:, 7:, :7])
+        H4 = H4.at[edge_j, :, edge_j, :].add(He[:, 7:, 7:])
+        g2 = jnp.zeros((n_poses, 7), dt)
+        g2 = g2.at[edge_i].add(ge[:, :7]).at[edge_j].add(ge[:, 7:])
+        cost = jnp.sum(r * r)
+        # quaternion-norm soft constraints keep the parametrization healthy:
+        # residual |q_p|^2 - 1 per pose, Jacobian 2q in the pose's own block
+        q = theta[:, :4]
+        qn = jnp.sum(q * q, axis=1) - 1.0  # (P,)
+        Jq = jnp.pad(2.0 * q, ((0, 0), (0, 3)))  # (P, 7)
+        H4 = H4.at[jnp.arange(n_poses), :, jnp.arange(n_poses), :].add(
+            jnp.einsum("pi,pj->pij", Jq, Jq)
         )
-        return jnp.concatenate(rs + [qn])
+        g2 = g2 + qn[:, None] * Jq
+        cost = cost + jnp.sum(qn * qn)
+        return H4.reshape(n_params, n_params), g2.reshape(-1), cost
 
-    flat0 = theta0.reshape(-1)
-    n_params = flat0.shape[0]
     # Gauge fix: pose 0 is frozen via a large diagonal prior in the normal
     # equations.  (Masking the *step* after an unconstrained solve is wrong —
     # the remaining parameters would be solved as if pose 0 were free.)
@@ -135,18 +187,27 @@ def _optimize_jit(theta0, edge_R, edge_t, edge_w, *, edges_static, n_iters):
         [jnp.full((7,), 1e8, dt), jnp.full((n_params - 7,), 1e-6, dt)]
     )
 
-    def gn_step(_, flat):
-        theta = flat.reshape(n_poses, 7)
-        r = residuals(theta)
-        J = jax.jacfwd(lambda f: residuals(f.reshape(n_poses, 7)))(flat)
-        H = J.T @ J + jnp.diag(gauge)
-        g = J.T @ r
-        delta = -jnp.linalg.solve(H, g)
-        return flat + delta
+    def gn_step(k, theta):
+        # Graduated non-convexity: the kernel starts wide (phi_0 = 1e4 in
+        # chi-square units makes DCS ~ plain least squares, whose global
+        # pull escapes the odometry-consistent local minimum a bad init
+        # sits in) and anneals geometrically to the target width over the
+        # first ~2/3 of the iterations, by which point the inlier consensus
+        # has separated from the outlier edges.  A FIXED phi from a bad
+        # init rejects the (large-residual) loop closures instead of the
+        # (zero-residual, init-defining) garbage edge — measured in
+        # tests/test_slam.py::test_pose_graph_robust_rejects_outlier_edge.
+        phi_0 = jnp.asarray(1e4, dt)
+        n_anneal = jnp.maximum(1, (2 * n_iters) // 3)
+        frac = jnp.minimum(1.0, k.astype(dt) / n_anneal.astype(dt))
+        phi = phi_0 * (robust_phi / phi_0) ** frac if robust else None
+        H, g, _ = normal_terms(theta, phi)
+        delta = -jnp.linalg.solve(H + jnp.diag(gauge), g)
+        return theta + delta.reshape(n_poses, 7)
 
-    flat = jax.lax.fori_loop(0, n_iters, gn_step, flat0)
-    theta = flat.reshape(n_poses, 7)
-    return theta, jnp.sum(residuals(theta) ** 2)
+    theta = jax.lax.fori_loop(0, n_iters, gn_step, theta0)
+    _, _, cost = normal_terms(theta, robust_phi if robust else None)
+    return theta, cost
 
 
 def optimize_pose_graph(
@@ -154,15 +215,34 @@ def optimize_pose_graph(
     edges: Sequence[PoseEdge],
     *,
     n_iters: int = 10,
+    robust_phi: float | None = None,
 ) -> Tuple[list[Similarity], float]:
-    """Gauss-Newton pose-graph solve; returns (optimized poses, final cost)."""
+    """Gauss-Newton pose-graph solve; returns (optimized poses, final cost).
+
+    ``robust_phi`` enables dynamic covariance scaling with that kernel width
+    (chi-square units of the 12-d edge residual): edges whose residual stays
+    inconsistent with the rest of the graph are automatically down-weighted.
+    Use whenever the graph has redundancy (loop closures) and some edges may
+    be wrong — e.g. an odometry pair that failed to register.  ``phi = 1.0``
+    is a good default for unit-scale rotation residuals; ``None`` (default)
+    is plain least squares.
+    """
     theta0 = poses_to_params(poses)
+    edge_i = jnp.asarray([e.i for e in edges], jnp.int32)
+    edge_j = jnp.asarray([e.j for e in edges], jnp.int32)
     edge_R = jnp.stack([jnp.asarray(e.R, jnp.float32) for e in edges])
     edge_t = jnp.stack([jnp.asarray(e.t, jnp.float32) for e in edges])
     edge_w = jnp.asarray([e.weight for e in edges], jnp.float32)
-    edges_static = tuple((e.i, e.j) for e in edges)
     theta, cost = _optimize_jit(
-        theta0, edge_R, edge_t, edge_w, edges_static=edges_static, n_iters=n_iters
+        theta0,
+        edge_i,
+        edge_j,
+        edge_R,
+        edge_t,
+        edge_w,
+        jnp.asarray(1.0 if robust_phi is None else robust_phi, jnp.float32),
+        n_iters=n_iters,
+        robust=robust_phi is not None,
     )
     return params_to_poses(theta), float(cost)
 

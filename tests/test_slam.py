@@ -140,6 +140,114 @@ def test_pose_graph_gn_closes_loop(rng):
         np.testing.assert_allclose(np.asarray(o.R), np.asarray(t.R), atol=1e-3)
 
 
+def test_pose_graph_scales_and_reuses_program():
+    # 48-pose ring (chain + ring closure + 8 chords): the vmapped block
+    # assembly must (a) converge on a graph this size, (b) serve a second
+    # graph with the SAME (n_poses, n_edges) shape but DIFFERENT topology
+    # and measurements from the same compiled program (topology is data).
+    from icp_tpu.slam.pose_graph import _optimize_jit
+
+    def make_problem(seed, chords):
+        rng = np.random.default_rng(seed)
+        true = [identity_similarity(jnp.float32)]
+        for _ in range(47):
+            d = _small_pose(rng, rot_scale=0.25, t_scale=0.5)
+            d32 = Similarity(
+                jnp.asarray(1.0, jnp.float32),
+                jnp.asarray(np.asarray(d.R), jnp.float32),
+                jnp.asarray(np.asarray(d.t), jnp.float32),
+            )
+            true.append(compose(true[-1], d32))
+
+        def edge(i, j, t_noise=0.0):
+            Ri, Rj = np.asarray(true[i].R), np.asarray(true[j].R)
+            ti, tj = np.asarray(true[i].t), np.asarray(true[j].t)
+            t_ij = Ri.T @ (tj - ti) + t_noise * rng.standard_normal(3)
+            return PoseEdge(i, j, jnp.asarray(Ri.T @ Rj, jnp.float32),
+                            jnp.asarray(t_ij, jnp.float32))
+
+        edges = [edge(k, k + 1) for k in range(47)]
+        edges.append(edge(0, 47))
+        edges += [edge(i, j) for i, j in chords]
+        init = [true[0]] + [
+            Similarity(p.s, p.R,
+                       p.t + jnp.asarray(0.25 * rng.standard_normal(3),
+                                         jnp.float32))
+            for p in true[1:]
+        ]
+        return true, edges, init
+
+    chords_a = [(0, 24), (8, 32), (16, 40), (4, 28), (12, 36),
+                (20, 44), (2, 26), (10, 34)]
+    chords_b = [(1, 25), (9, 33), (17, 41), (5, 29), (13, 37),
+                (21, 45), (3, 27), (11, 35)]
+    true, edges, init = make_problem(21, chords_a)
+    before = _optimize_jit._cache_size()
+    opt, _ = optimize_pose_graph(init, edges, n_iters=20)
+    for o, t in zip(opt, true):
+        np.testing.assert_allclose(np.asarray(o.R), np.asarray(t.R), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(o.t), np.asarray(t.t), atol=1e-3)
+    true2, edges2, init2 = make_problem(22, chords_b)
+    opt2, _ = optimize_pose_graph(init2, edges2, n_iters=20)
+    for o, t in zip(opt2, true2):
+        np.testing.assert_allclose(np.asarray(o.t), np.asarray(t.t), atol=1e-3)
+    assert _optimize_jit._cache_size() == before + 1, (
+        "same-shape graph with different topology recompiled"
+    )
+
+
+def test_pose_graph_robust_rejects_outlier_edge():
+    # local generator: drawing from the session ``rng`` fixture here would
+    # shift the stream position of every test after this one in the file
+    rng = np.random.default_rng(11)
+    # 5 poses with a redundant cycle structure (chain + three closures) and
+    # ONE garbage edge: DCS (robust_phi) must recover the true poses while
+    # plain least squares splits the garbage across the graph.  The init is
+    # the realistic bad one: world poses chained THROUGH the garbage edge.
+    true = [identity_similarity(jnp.float32)]
+    for _ in range(4):
+        d = _small_pose(rng, rot_scale=0.4, t_scale=1.0)
+        d32 = Similarity(
+            jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(np.asarray(d.R), jnp.float32),
+            jnp.asarray(np.asarray(d.t), jnp.float32),
+        )
+        true.append(compose(true[-1], d32))
+
+    def edge(i, j, garbage=False):
+        if garbage:
+            R_ij = random_rotation(rng).astype(np.float32)
+            t_ij = np.array([3.0, -2.0, 1.0], np.float32)
+        else:
+            Ri, Rj = np.asarray(true[i].R), np.asarray(true[j].R)
+            ti, tj = np.asarray(true[i].t), np.asarray(true[j].t)
+            R_ij = Ri.T @ Rj
+            t_ij = Ri.T @ (tj - ti)
+        return PoseEdge(i, j, jnp.asarray(R_ij, jnp.float32),
+                        jnp.asarray(t_ij, jnp.float32))
+
+    bad = edge(1, 2, garbage=True)
+    edges = [edge(0, 1), bad, edge(2, 3), edge(3, 4),
+             edge(0, 2), edge(1, 3), edge(2, 4)]
+    # init: chain composition through the garbage edge (poses 2..4 wrong)
+    init = list(true[:2])
+    for k, e in enumerate([bad, edges[2], edges[3]], start=2):
+        prev = init[-1]
+        init.append(Similarity(
+            prev.s, prev.R @ e.R, prev.t + jnp.ravel(e.t @ prev.R.T)))
+
+    def max_t_err(poses):
+        return max(float(np.linalg.norm(np.asarray(o.t) - np.asarray(tp.t)))
+                   for o, tp in zip(poses, true))
+
+    plain, _ = optimize_pose_graph(init, edges, n_iters=25)
+    robust, _ = optimize_pose_graph(init, edges, n_iters=25, robust_phi=1.0)
+    assert max_t_err(robust) < 1e-2, max_t_err(robust)
+    assert max_t_err(plain) > 5 * max_t_err(robust)
+    for o, t in zip(robust, true):
+        np.testing.assert_allclose(np.asarray(o.R), np.asarray(t.R), atol=1e-2)
+
+
 def _ba_problem(rng, n_pts=64):
     # 3 poses; shared world points seen in each frame; init poses perturbed.
     true = [identity_similarity(jnp.float32)]
