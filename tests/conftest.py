@@ -18,6 +18,16 @@ behavior, so the hardware gate is a separate, serialized run:
 
 import os
 
+# Subprocess-spawning tests (CLI contract, distributed bring-up, bench
+# supervisor) run `python -m icp_tpu...` from other working directories;
+# make the package importable there even when it is not pip-installed
+# (the environment can be reset between sessions).  Must happen at import
+# time: test modules snapshot `os.environ` into their own ENV dicts.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ["PYTHONPATH"] = _REPO_ROOT + (
+    os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+)
+
 TPU_MODE = os.environ.get("ICP_TESTS_TPU") == "1"
 
 if not TPU_MODE:
