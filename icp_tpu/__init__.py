@@ -13,6 +13,7 @@ from icp_tpu.engine.point_to_plane import (
     icp_point_to_plane,
     icp_point_to_plane_sharded,
 )
+from icp_tpu.engine.symmetric import icp_symmetric, icp_symmetric_sharded
 from icp_tpu.engine.global_reg import (
     GlobalRegResult,
     compatibility_scores,
@@ -72,6 +73,8 @@ __all__ = [
     "icp_generalized",
     "icp_generalized_sharded",
     "icp_point_to_plane",
+    "icp_symmetric",
+    "icp_symmetric_sharded",
     "icp_point_to_plane_sharded",
     "estimate_normals",
     "orient_normals",

@@ -53,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="report plain MSE instead of the reference's 2x metric")
     p.add_argument("--output", default="output.txt")
     p.add_argument("--engine", default="point_to_point",
-                   choices=["point_to_point", "point_to_plane", "gicp"],
+                   choices=["point_to_point", "point_to_plane", "gicp",
+                            "symmetric"],
                    help="registration metric (single-device AND --sharded)")
     p.add_argument("--sharded", action="store_true",
                    help="shard points over all available devices")
@@ -153,6 +154,10 @@ def main(argv=None) -> int:
                 from icp_tpu.engine.gicp import (
                     icp_generalized_sharded as run_sharded,
                 )
+            elif args.engine == "symmetric":
+                from icp_tpu.engine.symmetric import (
+                    icp_symmetric_sharded as run_sharded,
+                )
             else:
                 from icp_tpu.parallel.sharded import icp_sharded as run_sharded
 
@@ -180,6 +185,10 @@ def main(argv=None) -> int:
                 from icp_tpu.engine.gicp import icp_generalized
 
                 tr = icp_generalized(model, scene, cfg, trace=True)
+            elif args.engine == "symmetric":
+                from icp_tpu.engine.symmetric import icp_symmetric
+
+                tr = icp_symmetric(model, scene, cfg, trace=True)
             else:
                 tr = icp(model, scene, cfg, trace=True)
             res = tr.result

@@ -38,7 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale", action="store_true",
                    help="similarity (allow per-pair scale); default rigid")
     p.add_argument("--engine", default="point_to_point",
-                   choices=["point_to_point", "point_to_plane", "gicp"],
+                   choices=["point_to_point", "point_to_plane", "gicp",
+                            "symmetric"],
                    help="registration metric (plane-based engines converge "
                         "in ~3 iters and handle sliding contact)")
     p.add_argument("--trim", type=float, default=0.0, metavar="FRAC",

@@ -85,7 +85,7 @@ def initialize_pca(
     return best[1]
 
 
-_ENGINES = ("point_to_point", "point_to_plane", "gicp")
+_ENGINES = ("point_to_point", "point_to_plane", "gicp", "symmetric")
 
 
 def _run_engine(engine: str, model, scene, cfg: ICPConfig,
@@ -100,6 +100,10 @@ def _run_engine(engine: str, model, scene, cfg: ICPConfig,
         from icp_tpu.engine.gicp import icp_generalized
 
         return icp_generalized(model, scene, cfg, init=init)
+    if engine == "symmetric":
+        from icp_tpu.engine.symmetric import icp_symmetric
+
+        return icp_symmetric(model, scene, cfg, init=init)
     raise ValueError(f"unknown engine {engine!r}; choose from {_ENGINES}")
 
 

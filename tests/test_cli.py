@@ -125,7 +125,7 @@ def _write_subsampled_cow(tmp_path, step=10):
         (tmp_path / name).write_text("\n".join([src[0]] + src[1::step]) + "\n")
 
 
-@pytest.mark.parametrize("engine", ["point_to_plane", "gicp"])
+@pytest.mark.parametrize("engine", ["point_to_plane", "gicp", "symmetric"])
 @pytest.mark.parametrize("sharded", [False, True])
 def test_engine_flag_runs_gn_metrics(tmp_path, engine, sharded):
     # --engine selects the registration metric on BOTH the single-device and

@@ -220,3 +220,34 @@ def test_hw_gn_engines_one_chip_mesh(cow_f32):
     assert int(d.iters) == int(s.iters)
     np.testing.assert_allclose(np.asarray(d.points), np.asarray(s.points),
                                atol=1e-5)
+
+
+def test_hw_symmetric_engine_one_chip_mesh(cow_f32):
+    """Symmetric objective (engine/symmetric.py) compiled on the real chip:
+    single-device convergence on cow + sharded==single on the 1-chip mesh
+    (scene normals carried/rotated inside the compiled while_loop)."""
+    from jax.sharding import Mesh
+
+    from icp_tpu import ICPConfig
+    from icp_tpu.engine.symmetric import icp_symmetric, icp_symmetric_sharded
+    from icp_tpu.ops.normals import estimate_normals
+
+    ref, tr1 = cow_f32
+    ref, tr1 = np.ascontiguousarray(ref[::4]), np.ascontiguousarray(tr1[::4])
+    mesh = Mesh(np.array(jax.devices()[:1]), ("points",))
+    cfg = ICPConfig(max_iter=15, dtype=jnp.float32, nn_method="pallas",
+                    threshold=1e-10)
+    nm = estimate_normals(jnp.asarray(ref, jnp.float32), k=12)
+    ns = estimate_normals(jnp.asarray(tr1, jnp.float32), k=12)
+
+    s = icp_symmetric(ref, tr1, cfg, normals=nm, scene_normals=ns,
+                      trace=True)
+    iters = int(s.result.iters)
+    errs = np.asarray(s.errs)[:iters]
+    assert errs[-1] < 1e-2 * errs[0]  # real-Mosaic convergence
+
+    d = icp_symmetric_sharded(ref, tr1, cfg, normals=nm, scene_normals=ns,
+                              mesh=mesh)
+    assert int(d.iters) == iters
+    np.testing.assert_allclose(np.asarray(d.points),
+                               np.asarray(s.result.points), atol=1e-5)
