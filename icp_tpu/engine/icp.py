@@ -122,14 +122,32 @@ def _step_and_compose(
     scene_tile,
     model_tile,
     trim_fraction: float = 0.0,
+    fused_prep=None,
 ):
     """One iteration + transform composition.
 
-    Fast path (solver=qcp_fused + nn=pallas): the model-point gather runs
-    inside the NN kernel (one-hot matmul) and the whole alignment solve +
-    composition runs in the fused scalar-core kernel — the XLA glue per
-    iteration reduces to the stats sums and the fused apply/error pass.
+    Fastest path (``fused_prep`` set — the default dense TPU configuration):
+    the ENTIRE iteration is one Pallas kernel (``kernels/icp_fused.py``) —
+    in-kernel transform apply, NN fold carrying the winning coordinates,
+    stats reduction, and the scalar-core solve.  Only the (1, 32) state
+    block rides the loop carry; ``p`` passes through untouched (it is the
+    RAW scene, applied once after the loop).
+
+    Fast path (solver=qcp_fused + nn=pallas, trimmed or oversized model):
+    pallas NN kernel + HBM gather + XLA stats + the fused scalar-core
+    alignment kernel.
     """
+    if fused_prep is not None:
+        from icp_tpu.kernels.icp_fused import fused_icp_step
+
+        new_state = fused_icp_step(
+            fused_prep, sim_tot, with_scale=with_scale,
+            interpret=jax.default_backend() != "tpu",
+        )
+        err_sum = new_state[0, 26]
+        n = jnp.asarray(fused_prep[2], jnp.float32)
+        err = (2.0 * err_sum / n) if reference_compat else (err_sum / n)
+        return p, new_state, err.astype(p.dtype)
     if solver == "qcp_fused" and nn_method == "pallas":
         # Fused fast path.  ``sim_tot`` here is NOT a Similarity but the
         # (1, 32) state block output by the alignment kernel (identity-packed
@@ -182,6 +200,26 @@ def _step_and_compose(
 
 def _is_fused(solver: str, nn_method: str) -> bool:
     return solver == "qcp_fused" and nn_method == "pallas"
+
+
+def _fused_prep(model, scene, solver, nn_method, trim_fraction, scene_tile):
+    """Prepared inputs for the whole-iteration fused kernel, or None when the
+    configuration doesn't qualify (see ``icp_fused.fused_path_available``).
+    Built BEFORE the while_loop so padding/transposition is loop-invariant.
+
+    ``scene_tile`` is ignored: the fused kernel's measured optimum (128, the
+    register-resident chunked-fold sweet spot — docs/PERF.md) differs from
+    the tiled NN kernel's (256), and the config's ``scene_tile`` tunes the
+    latter.  A/B experiments tune via ``prepare_fused_inputs`` directly."""
+    from icp_tpu.kernels.icp_fused import (
+        fused_path_available,
+        prepare_fused_inputs,
+    )
+
+    if not fused_path_available(solver, nn_method, trim_fraction,
+                                model.shape[0]):
+        return None
+    return prepare_fused_inputs(scene, model)
 
 
 def _init_transform_state(fused: bool, dt, init_sim=None):
@@ -253,7 +291,10 @@ def _icp_while(
     init_sim=None,
 ):
     dt = scene.dtype
-    scene = _warm_start(scene, init_sim)
+    prep = _fused_prep(model, scene, solver, nn_method, trim_fraction,
+                       scene_tile)
+    if prep is None:
+        scene = _warm_start(scene, init_sim)  # fused kernel applies in-kernel
     bound = jnp.asarray(max_iter if n_iters is None else n_iters, jnp.int32)
 
     def cond(carry):
@@ -273,6 +314,7 @@ def _icp_while(
             scene_tile=scene_tile,
             model_tile=model_tile,
             trim_fraction=trim_fraction,
+            fused_prep=prep,
         )
         return p_new, sim_tot2, err, it + 1
 
@@ -283,12 +325,10 @@ def _icp_while(
         jnp.asarray(0, jnp.int32),
     )
     p, state, err, it = jax.lax.while_loop(cond, body, init)
-    return ICPResult(
-        points=p,
-        transform=_finish_transform_state(state, _is_fused(solver, nn_method)),
-        err=err,
-        iters=it,
-    )
+    total = _finish_transform_state(state, _is_fused(solver, nn_method))
+    if prep is not None:
+        p = apply_similarity(p, total)  # the one post-loop apply
+    return ICPResult(points=p, transform=total, err=err, iters=it)
 
 
 class ICPGuardError(RuntimeError):
@@ -338,7 +378,10 @@ def _icp_while_guarded(
     no host round-trip per iteration).  The reference exits the process on
     the few errors it checks at all (SURVEY.md §5)."""
     dt = scene.dtype
-    scene = _warm_start(scene, init_sim)
+    prep = _fused_prep(model, scene, solver, nn_method, trim_fraction,
+                       scene_tile)
+    if prep is None:
+        scene = _warm_start(scene, init_sim)
 
     def cond(carry):
         _, _, err, it, _, status = carry
@@ -360,6 +403,7 @@ def _icp_while_guarded(
             scene_tile=scene_tile,
             model_tile=model_tile,
             trim_fraction=trim_fraction,
+            fused_prep=prep,
         )
         status = jnp.where(
             ~jnp.isfinite(err),
@@ -381,12 +425,10 @@ def _icp_while_guarded(
         jnp.asarray(_GUARD_OK, jnp.int32),
     )
     p, state, err, it, _, status = jax.lax.while_loop(cond, body, init)
-    result = ICPResult(
-        points=p,
-        transform=_finish_transform_state(state, _is_fused(solver, nn_method)),
-        err=err,
-        iters=it,
-    )
+    total = _finish_transform_state(state, _is_fused(solver, nn_method))
+    if prep is not None:
+        p = apply_similarity(p, total)
+    result = ICPResult(points=p, transform=total, err=err, iters=it)
     return result, status
 
 
@@ -442,7 +484,10 @@ def _icp_scan_trace(
     200-iteration budget converging in 7).  Unwritten tail entries are NaN;
     callers slice ``errs[:iters]``."""
     dt = scene.dtype
-    scene = _warm_start(scene, init_sim)
+    prep = _fused_prep(model, scene, solver, nn_method, trim_fraction,
+                       scene_tile)
+    if prep is None:
+        scene = _warm_start(scene, init_sim)
 
     def cond(carry):
         _, _, err, it, _ = carry
@@ -461,6 +506,7 @@ def _icp_scan_trace(
             scene_tile=scene_tile,
             model_tile=model_tile,
             trim_fraction=trim_fraction,
+            fused_prep=prep,
         )
         errs = jax.lax.dynamic_update_index_in_dim(
             errs, err_new.astype(errs.dtype), it, 0
@@ -475,13 +521,11 @@ def _icp_scan_trace(
         jnp.full((max_iter,), jnp.nan, dt),
     )
     p, state, err, it, errs = jax.lax.while_loop(cond, body, init)
+    total = _finish_transform_state(state, _is_fused(solver, nn_method))
+    if prep is not None:
+        p = apply_similarity(p, total)
     return ICPTrace(
-        result=ICPResult(
-            points=p,
-            transform=_finish_transform_state(state, _is_fused(solver, nn_method)),
-            err=err,
-            iters=it,
-        ),
+        result=ICPResult(points=p, transform=total, err=err, iters=it),
         errs=errs,
     )
 
@@ -517,6 +561,8 @@ def icp_fixed_iters(
     benchmark workload (reference full-loop benches use 20 iterations,
     ``src/bench.cc:435-445``)."""
     dt = scene.dtype
+    prep = _fused_prep(model, scene, solver, nn_method, trim_fraction,
+                       scene_tile)
 
     def body(_, carry):
         p, sim_tot, __ = carry
@@ -531,6 +577,7 @@ def icp_fixed_iters(
             scene_tile=scene_tile,
             model_tile=model_tile,
             trim_fraction=trim_fraction,
+            fused_prep=prep,
         )
         return p_new, sim_tot2, err
 
@@ -541,12 +588,10 @@ def icp_fixed_iters(
     )
     n = jnp.asarray(n_iters, jnp.int32)
     p, state, err = jax.lax.fori_loop(0, n, body, init)
-    return ICPResult(
-        points=p,
-        transform=_finish_transform_state(state, _is_fused(solver, nn_method)),
-        err=err,
-        iters=n,
-    )
+    total = _finish_transform_state(state, _is_fused(solver, nn_method))
+    if prep is not None:
+        p = apply_similarity(p, total)
+    return ICPResult(points=p, transform=total, err=err, iters=n)
 
 
 def _validate(model, scene, cfg: ICPConfig) -> None:

@@ -44,32 +44,21 @@ def _qcp_kernel(in_ref, out_ref):
     out_ref[0, 15] = 0.0
 
 
-def _alignment_step_kernel(stats_ref, prev_ref, out_ref, *, with_scale):
-    """Whole per-iteration alignment update in one scalar-core dispatch.
+def alignment_update_scalars(Spy, sum_p, sum_y, sum_pp, sum_yy, n,
+                             prev_s, prev_R, prev_t, *, with_scale):
+    """Whole per-iteration alignment update as scalar math (shared by the
+    standalone alignment kernel below and the fully-fused ICP iteration
+    kernel in ``kernels/icp_fused.py``).
 
-    stats input (1, 32): [sum_py(9), sum_p(3), sum_y(3), sum_pp, sum_yy, n]
-    prev input  (1, 32): the PREVIOUS iteration's output block (identity-
-                         packed at loop start) — the loop carries this block
-                         verbatim, so no per-iteration repacking is needed.
-    output      (1, 32): [s_step, R_step(9), t_step(3), s_tot, R_tot(9),
-                         t_tot(3), residual_sum, lambda]
-                         (slots 13..25 are what ``prev`` is read from)
+    Inputs are raw sufficient statistics (``Spy`` = sum p y^T as a 3x3 nested
+    scalar list) plus the previous cumulative transform.  Returns
+    ``(s, R, t, s_tot, R_tot, t_tot, residual_sum, lambda)``.
 
     Computes centroids via the shift identities, runs the QCP solve, builds
     (s, R, t), and composes with the previous cumulative transform — all the
     scalar work of an ICP iteration that XLA would otherwise dispatch as
     ~hundreds of individual ops.
     """
-    f = lambda i: stats_ref[0, i]
-    g = lambda i: prev_ref[0, i]
-    Spy = [[f(3 * r + c) for c in range(3)] for r in range(3)]
-    sum_p = [f(9), f(10), f(11)]
-    sum_y = [f(12), f(13), f(14)]
-    sum_pp, sum_yy, n = f(15), f(16), f(17)
-    prev_s = g(13)
-    prev_R = [[g(14 + 3 * r + c) for c in range(3)] for r in range(3)]
-    prev_t = [g(23), g(24), g(25)]
-
     inv_n = 1.0 / n
     mu_p = [v * inv_n for v in sum_p]
     mu_y = [v * inv_n for v in sum_y]
@@ -91,7 +80,18 @@ def _alignment_step_kernel(stats_ref, prev_ref, out_ref, *, with_scale):
               for c in range(3)] for r in range(3)]
     t_tot = [s * (R[r][0] * prev_t[0] + R[r][1] * prev_t[1] + R[r][2] * prev_t[2]) + t[r]
              for r in range(3)]
+    # Residual of the NEW transform in closed form (Horn): at the optimum,
+    # sum ||y - (s R p + t)||^2 = gy + s^2 gp - 2 s lambda_max.  Saves a full
+    # (N, 3) reduction pass per iteration.  f32 cancellation floor is
+    # ~ulp(gy), well below the 1e-5 convergence threshold at dataset scale.
+    resid = jnp.maximum(gy + s * s * gp - 2.0 * s * lam, 0.0)
+    return s, R, t, s_tot, R_tot, t_tot, resid, lam
 
+
+def write_state_block(out_ref, s, R, t, s_tot, R_tot, t_tot, resid, lam):
+    """Write the (1, 32) state-block layout: [s_step, R_step(9), t_step(3),
+    s_tot, R_tot(9), t_tot(3), residual_sum, lambda, 0...] — slots 13..25 are
+    what the next iteration reads back as ``prev``."""
     out_ref[0, 0] = s
     for r in range(3):
         for c in range(3):
@@ -104,14 +104,40 @@ def _alignment_step_kernel(stats_ref, prev_ref, out_ref, *, with_scale):
             out_ref[0, 14 + 3 * r + c] = R_tot[r][c]
     for r in range(3):
         out_ref[0, 23 + r] = t_tot[r]
-    # Residual of the NEW transform in closed form (Horn): at the optimum,
-    # sum ||y - (s R p + t)||^2 = gy + s^2 gp - 2 s lambda_max.  Saves a full
-    # (N, 3) reduction pass per iteration.  f32 cancellation floor is
-    # ~ulp(gy), well below the 1e-5 convergence threshold at dataset scale.
-    out_ref[0, 26] = jnp.maximum(gy + s * s * gp - 2.0 * s * lam, 0.0)
+    out_ref[0, 26] = resid
     out_ref[0, 27] = lam
     for k in range(28, 32):
         out_ref[0, k] = 0.0
+
+
+def read_prev_transform(prev_ref):
+    """Read (s_tot, R_tot, t_tot) scalars from a (1, 32) state-block ref."""
+    g = lambda i: prev_ref[0, i]
+    prev_s = g(13)
+    prev_R = [[g(14 + 3 * r + c) for c in range(3)] for r in range(3)]
+    prev_t = [g(23), g(24), g(25)]
+    return prev_s, prev_R, prev_t
+
+
+def _alignment_step_kernel(stats_ref, prev_ref, out_ref, *, with_scale):
+    """Standalone alignment-update kernel (one scalar-core dispatch).
+
+    stats input (1, 32): [sum_py(9), sum_p(3), sum_y(3), sum_pp, sum_yy, n]
+    prev input  (1, 32): the PREVIOUS iteration's output block (identity-
+                         packed at loop start) — the loop carries this block
+                         verbatim, so no per-iteration repacking is needed.
+    output      (1, 32): see ``write_state_block``.
+    """
+    f = lambda i: stats_ref[0, i]
+    Spy = [[f(3 * r + c) for c in range(3)] for r in range(3)]
+    sum_p = [f(9), f(10), f(11)]
+    sum_y = [f(12), f(13), f(14)]
+    sum_pp, sum_yy, n = f(15), f(16), f(17)
+    prev_s, prev_R, prev_t = read_prev_transform(prev_ref)
+    out = alignment_update_scalars(Spy, sum_p, sum_y, sum_pp, sum_yy, n,
+                                   prev_s, prev_R, prev_t,
+                                   with_scale=with_scale)
+    write_state_block(out_ref, *out)
 
 
 def _qcp_rotation_scalar(S, gp, gy):
