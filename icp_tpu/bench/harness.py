@@ -32,12 +32,9 @@ def _progress(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-# Measured exhaustive-NN speed-of-light on this chip class: the
-# register-resident chunked fold hits ~0.34-0.35 T point-pairs/s and PERF.md
-# establishes it as the VPU compute roofline for this op (docs/PERF.md
-# "Pallas chunked fold ... ~= the VPU compute roofline").  Used only to
-# normalize `pct_vpu_roofline` in the op rows.
-_VPU_ROOFLINE_PAIRS_PER_S = 0.35e12
+# Utilization normalization: analytic chip-spec rooflines (documented v5e
+# numbers + per-kernel instruction counts) live in bench/roofline.py — the
+# previous self-measured constant graded its own homework (VERDICT r3 #6).
 
 
 def repo_root() -> str:
@@ -57,11 +54,20 @@ def load_cow():
     return load_pair("cow")
 
 
-def amortized_op_time(fn, args, n_small: int = 20, n_big: int = 520, reps: int = 3):
+def amortized_op_time(fn, args, n_small: int = 20, n_big: int = 520,
+                      reps: int = 3, inner: int = 1):
     """Per-call device time of ``fn(*args, carry)`` via scan differencing.
 
     ``fn`` must fold its carry argument into its inputs (e.g. ``p + c*1e-20``)
     so XLA cannot hoist the body out of the loop.
+
+    ``inner``: sequential (carry-chained) executions of ``fn`` per loop step.
+    Sub-microsecond ops cannot be resolved by differencing two wall times
+    through the ~35 ms-RTT tunnel at inner=1 — the r03 artifact reported the
+    1e-7 clamp for two rows (VERDICT r3 weak #5).  Folding K carry-dependent
+    copies per step multiplies the measurable signal by K without changing
+    per-call semantics (each copy consumes the previous carry, so XLA cannot
+    batch or hoist them).
     """
     import jax
     import jax.numpy as jnp
@@ -71,9 +77,11 @@ def amortized_op_time(fn, args, n_small: int = 20, n_big: int = 520, reps: int =
     @jax.jit
     def loop(n, *a):
         def body(_, c):
-            out = fn(*a, c)
-            leaf = jax.tree.leaves(out)[0]
-            return c + jnp.sum(leaf).astype(jnp.float32) * 1e-12
+            for _k in range(inner):
+                out = fn(*a, c)
+                leaf = jax.tree.leaves(out)[0]
+                c = c + jnp.sum(leaf).astype(jnp.float32) * 1e-12
+            return c
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -87,7 +95,7 @@ def amortized_op_time(fn, args, n_small: int = 20, n_big: int = 520, reps: int =
             float(loop(n, *args))
             best = min(best, time.perf_counter() - t0)
         t[n] = best
-    return (t[n_big] - t[n_small]) / (n_big - n_small)
+    return (t[n_big] - t[n_small]) / ((n_big - n_small) * inner)
 
 
 def wall_time(fn, reps: int = 5):
@@ -253,27 +261,51 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
 
         ops["closest_bf16"] = nn_bf16
 
-    n_pairs = ref.shape[0] * tr1.shape[0]  # correspondence problem size
+    from icp_tpu.bench.roofline import chip_spec, mfu_fields
+
+    spec = chip_spec(jax.devices()[0].device_kind) if on_tpu else None
+    n, m = ref.shape[0], tr1.shape[0]
+    n_pairs = n * m  # correspondence problem size
+    fbytes = 4  # f32
+    # HBM traffic per call (inputs read once + outputs), for hbm_util_pct.
+    # Dense-NN inputs are VMEM-resident across the fold, so their traffic
+    # really is one read of each cloud.
+    op_bytes = {
+        "compute_centroid": n * 3 * fbytes,
+        "err_compute": 2 * n * 3 * fbytes,
+        "err_compute_alignment": 2 * n * 3 * fbytes,
+        "find_alignment": 2 * n * 3 * fbytes,
+    }
+    # Sub-microsecond ops need K carry-chained copies per differencing step
+    # to resolve above tunnel noise (the r03 artifact floored two rows at
+    # the old 0.1 us clamp — VERDICT r3 weak #5; the clamp is gone).
+    op_timing = {
+        "compute_centroid": dict(inner=16, n_big=2020),
+        "err_compute": dict(inner=16, n_big=2020),
+        "err_compute_alignment": dict(inner=16, n_big=2020),
+    }
     results = []
     for name, fn in ops.items():
         if include and name not in include:
             continue
         _progress(f"op {name} ...")
-        per = amortized_op_time(fn, (ref, tr1))
-        # sub-us ops can difference to slightly negative under timing noise
-        per = max(per, 1e-7)
+        per = amortized_op_time(fn, (ref, tr1), **op_timing.get(name, {}))
+        if per <= 0:  # noise exceeded signal — report honestly, not a floor
+            results.append(dict(benchmark=name, unresolved=True,
+                                raw_diff_us=per * 1e6))
+            _progress(f"op {name}: UNRESOLVED (diff {per*1e6:.3f} us)")
+            continue
         row = dict(benchmark=name, time_us=per * 1e6, rate_per_s=1.0 / per)
+        pairs_rate = None
         if name.startswith("closest"):
-            # normalized throughput + fraction of the measured VPU
-            # speed-of-light for the exhaustive-NN op class (dense kernels
-            # should sit near 1.0; grid rows exceed it — that is the point
-            # of pruning)
-            row["point_pairs_per_s"] = n_pairs / per
-            row["pct_vpu_roofline"] = round(
-                100.0 * n_pairs / per / _VPU_ROOFLINE_PAIRS_PER_S, 1
-            )
+            # normalized throughput for the exhaustive-NN op class (grid
+            # rows exceed the dense bound — that is the point of pruning)
+            pairs_rate = n_pairs / per
+            row["point_pairs_per_s"] = pairs_rate
+        row.update(mfu_fields(spec, name, pairs_rate,
+                              op_bytes.get(name), per))
         results.append(row)
-        _progress(f"op {name}: {per*1e6:.1f} us")
+        _progress(f"op {name}: {per*1e6:.2f} us")
 
     # Full fixed-iteration loop (the headline): amortized over iteration count.
     nn_method = "pallas" if on_tpu else "bcast"
@@ -293,15 +325,18 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         t_small = timed_loop(n_iters)
         t_big = timed_loop(n_iters + 500)
         per_iter = (t_big - t_small) / 500
-        results.append(
-            dict(
-                benchmark="full_loop_per_iter",
-                time_us=per_iter * 1e6,
-                rate_per_s=1.0 / per_iter,
-                point_pairs_per_s=n_pairs / per_iter,
-                wall_20_iters_ms=t_small * 1e3,
-            )
+        row = dict(
+            benchmark="full_loop_per_iter",
+            time_us=per_iter * 1e6,
+            rate_per_s=1.0 / per_iter,
+            point_pairs_per_s=n_pairs / per_iter,
+            wall_20_iters_ms=t_small * 1e3,
         )
+        # whole-loop MFU: the iteration is one fused kernel whose dominant
+        # engine is the VPU NN fold — utilization of the analytic chip bound
+        row.update(mfu_fields(spec, "closest_fused", n_pairs / per_iter,
+                              None, per_iter))
+        results.append(row)
         _progress(
             f"full loop: {per_iter*1e6:.1f} us/iter "
             f"({1/per_iter:.0f} iter/s device-side; "

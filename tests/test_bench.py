@@ -209,3 +209,39 @@ def test_numpy_host_engine_registers():
     wall, p = _numpy_icp(ref, tr1, 15)
     assert wall > 0
     assert np.abs(np.asarray(p) - np.asarray(ref, np.float64)).max() < 1e-3
+
+
+def test_amortized_inner_chaining():
+    # inner=K copies per step must report the same per-call time scale
+    x = jnp.ones((64, 64), jnp.float32)
+
+    def fn(a, c):
+        return jnp.sum(a * (1.0 + c * 1e-20))
+
+    per = amortized_op_time(fn, (x,), n_small=5, n_big=50, reps=2, inner=8)
+    assert -0.01 <= per < 0.1
+
+
+def test_roofline_spec_and_bounds():
+    from icp_tpu.bench.roofline import (
+        chip_spec,
+        mfu_fields,
+        nn_vpu_bound_pairs_per_s,
+    )
+
+    spec = chip_spec("TPU v5 lite")
+    assert spec is not None and spec.name == "TPU v5e"
+    # analytic VPU bound: lanes x ALUs x clock / lane-ops-per-pair
+    assert spec.vpu_lane_ops_per_s == 8 * 128 * 4 * 0.94e9
+    bound = nn_vpu_bound_pairs_per_s(spec, "closest_pallas")
+    assert abs(bound - spec.vpu_lane_ops_per_s / 10.0) < 1.0
+    # the r03 measured kernel (0.315e12 pairs/s) sits at ~82% of this bound
+    assert 0.7 < 0.315e12 / bound < 1.0
+    row = mfu_fields(spec, "closest_pallas", 0.315e12, None, 26.7e-6)
+    assert 70.0 < row["mfu_pct"] < 100.0
+    # bandwidth util for an elementwise op: bytes / time / spec BW
+    row = mfu_fields(spec, "err_compute", None, 2 * 2903 * 3 * 4, 1.0e-6)
+    assert 0.0 < row["hbm_util_pct"] < 100.0
+    # unknown chip (CPU backend): no fabricated utilization fields
+    assert chip_spec("cpu-thing") is None
+    assert mfu_fields(None, "closest_pallas", 1.0, 1.0, 1.0) == {}
