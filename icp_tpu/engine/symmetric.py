@@ -152,6 +152,124 @@ def _icp_sym_while(
     return ICPTrace(result=result, errs=errs) if trace else result
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "scene_tile_target", "model_tile_target",
+                     "max_candidates", "trim_fraction", "trace"),
+)
+def _icp_sym_grid(
+    model,
+    model_normals,
+    scene,
+    scene_normals,
+    threshold,
+    *,
+    max_iter: int,
+    scene_tile_target: int = 256,
+    model_tile_target: int = 1024,
+    max_candidates: int = 16,
+    trim_fraction: float = 0.0,
+    trace: bool = False,
+    init_sim=None,
+):
+    """Grid-pruned symmetric loop (``nn_method="grid"`` — VERDICT r3 #2).
+
+    Same kd-tile + DMA-work-list pruning as ``engine/point_to_plane.py``'s
+    grid path: the MODEL normals ride the kd tiles' spare payload sublanes
+    (3 coords + 1 index + 3 normal of the 8), so the work-list kernel emits
+    the winning (point, normal) pair and the loop is gather-free.  The
+    SCENE normals never enter the fold at all — each row's own normal is
+    local — they are kd-permuted once alongside the points (the ``perm``
+    that ``_prepare_scene`` returns exists exactly for such side data) and
+    rotated with the accumulated half-rotations inside the loop.  The
+    culling bound is the euclidean residual (the plane residual does not
+    bound the NN distance).
+    """
+    from icp_tpu.engine.grid import _prepare_scene
+    from icp_tpu.kernels.nn_grid import (
+        bound_from_indices,
+        build_model_grid,
+        closest_point_indices_grid,
+        initial_bound_indices,
+        next_bound,
+    )
+    from icp_tpu.ops.quantile import histogram_quantile
+
+    dt = scene.dtype
+    interp = jax.default_backend() != "tpu"
+    if init_sim is not None:
+        scene = apply_similarity(scene, init_sim)
+        scene_normals = scene_normals @ init_sim.R.T
+
+    grid = build_model_grid(model, target_tile=model_tile_target,
+                            payload=model_normals)
+    p0, w, inv_slots, tn, perm = _prepare_scene(scene, scene_tile_target)
+    n_pad = p0.shape[0] - scene.shape[0]
+    sn_pad = jnp.concatenate(
+        [scene_normals,
+         jnp.broadcast_to(scene_normals[-1], (n_pad, 3)).astype(dt)], axis=0)
+    pn0 = sn_pad[perm]
+    stride = max(1, min(16, model.shape[0] // 4))
+    idx0 = initial_bound_indices(p0, grid.model_orig, stride=stride,
+                                 interpret=interp)
+    u0 = bound_from_indices(p0, grid, idx0)
+
+    def body(carry):
+        p, pn, sim_tot, _, it, u, errs = carry
+        _, y, nv, d2 = closest_point_indices_grid(
+            p, grid, u, scene_tile=tn, max_candidates=max_candidates,
+            interpret=interp,
+        )
+        y = y.astype(dt)
+        nv = nv.astype(dt)
+        flip = jnp.where(jnp.sum(pn * nv, axis=1) < 0.0, -1.0, 1.0)
+        nsum = pn + flip[:, None] * nv
+        if trim_fraction > 0.0:
+            if dt != jnp.float32:
+                d2 = jnp.sum((y - p) ** 2, axis=1)
+            tau = histogram_quantile(d2, 1.0 - trim_fraction, w)
+            w_eff = w * (d2 <= tau).astype(w.dtype)
+        else:
+            w_eff = w
+        r = jnp.sum(nsum * (p - y), axis=1) * w_eff
+        J = jnp.concatenate(
+            [jnp.cross(p + y, nsum), nsum], axis=1) * w_eff[:, None]
+        A = jnp.einsum("ni,nj->ij", J, J, precision=jax.lax.Precision.HIGHEST)
+        b = jnp.einsum("ni,n->i", J, r, precision=jax.lax.Precision.HIGHEST)
+        x = -jnp.linalg.solve(A + 1e-9 * jnp.eye(6, dtype=dt), b)
+        R = _rodrigues(x[:3])
+        R2 = jnp.matmul(R, R, precision=jax.lax.Precision.HIGHEST)
+        sim = Similarity(s=jnp.asarray(1.0, dt), R=R2, t=R @ x[3:])
+        p_new = apply_similarity(p, sim)
+        pn_new = pn @ R2.T
+        err = jnp.sum(
+            (jnp.sum(nsum * (p_new - y), axis=1) * w_eff) ** 2
+        ) / jnp.sum(w_eff)
+        u_next = next_bound(y, p_new)
+        if trace:
+            errs = jax.lax.dynamic_update_index_in_dim(
+                errs, err.astype(errs.dtype), it, 0
+            )
+        return p_new, pn_new, compose(sim_tot, sim), err, it + 1, u_next, errs
+
+    init = (
+        p0,
+        pn0,
+        identity_similarity(dt) if init_sim is None else init_sim,
+        jnp.asarray(jnp.inf, dt),
+        jnp.asarray(0, jnp.int32),
+        u0,
+        jnp.full((max_iter,), jnp.nan, dt) if trace else 0,
+    )
+    p, _, sim_tot, err, it, _, errs = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[4] < max_iter, c[3] >= threshold),
+        body, init,
+    )
+    result = ICPResult(points=p[inv_slots], transform=sim_tot, err=err,
+                       iters=it)
+    return ICPTrace(result=result, errs=errs) if trace else result
+
+
 def icp_symmetric_sharded(
     model,
     scene,
@@ -170,7 +288,9 @@ def icp_symmetric_sharded(
     scene rows, and rotated alongside them inside the loop — no second ring
     is needed because each scene point's own normal is always local.  The
     6x6 normal equations are psum-reduced; solve + Rodrigues replicated.
-    Dense NN only (see ``icp_symmetric``)."""
+    A ``grid`` NN request dispatches to the sharded kd-tile work-list loop
+    (``parallel/sharded_grid.gn_sharded_grid``), same as point-to-plane and
+    GICP."""
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec
 
@@ -180,6 +300,14 @@ def icp_symmetric_sharded(
     from icp_tpu.parallel.sharded import _pad_rows, _ring_correspond
 
     cfg = config or ICPConfig()
+    if cfg.resolved_nn_method(jax.default_backend()) == "grid":
+        from icp_tpu.parallel.sharded_grid import gn_sharded_grid
+
+        return gn_sharded_grid(
+            model, scene, cfg, engine="symmetric", model_normals=normals,
+            scene_normals=scene_normals, normal_k=normal_k, mesh=mesh,
+            trace=trace,
+        )
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
@@ -323,10 +451,11 @@ def icp_symmetric(
     optional warm-start ``Similarity`` (rotation part must be a pure
     rotation; the returned transform still maps the caller's scene).
 
-    Dense NN only (``bcast``/``matmul``/``pallas``); a ``grid`` request
-    falls back to the dense kernel — the grid kernels' kd-tile payload
-    sublanes are fully used by (coords, index, model normal) and cannot
-    also carry the scene normal this objective needs.
+    All NN methods are supported: dense (``bcast``/``matmul``/``pallas``),
+    the approximate ``bf16`` MXU prefilter (passed through to
+    ``closest_point_indices`` like every other engine), and the kd-tile
+    ``grid`` path (``_icp_sym_grid`` — model normals ride the tile payload
+    sublanes, scene normals are kd-permuted side data).
     """
     from icp_tpu.engine.icp import _cast_sim
     from icp_tpu.ops.normals import estimate_normals
@@ -345,8 +474,21 @@ def icp_symmetric(
         scene_normals = jnp.asarray(scene_normals, cfg.dtype)
     backend = jax.default_backend()
     nn_method = cfg.resolved_nn_method(backend)
-    if nn_method in ("grid", "bf16"):
-        nn_method = "pallas" if backend == "tpu" else "bcast"
+    if nn_method == "grid":
+        return _icp_sym_grid(
+            model,
+            normals,
+            scene,
+            scene_normals,
+            jnp.asarray(cfg.threshold, cfg.dtype),
+            max_iter=cfg.max_iter,
+            scene_tile_target=cfg.grid_scene_tile,
+            model_tile_target=cfg.grid_model_tile,
+            max_candidates=cfg.grid_max_candidates,
+            trim_fraction=cfg.trim_fraction,
+            trace=trace,
+            init_sim=_cast_sim(init, cfg.dtype) if init is not None else None,
+        )
     return _icp_sym_while(
         model,
         normals,

@@ -371,12 +371,13 @@ def _gn_sharded_grid_jit(
     model_pad,
     normals_pad,
     scene_pad,
-    covs_pad,  # (N_pad, 3, 3) scene covariances (GICP) or a 0 placeholder
+    covs_pad,  # per-scene-point side data: (N_pad, 3, 3) covariances (GICP),
+    #            (N_pad, 3) scene normals (symmetric), or a 0 placeholder
     scene_mask,
     threshold,
     *,
     mesh: Mesh,
-    engine: str,  # "point_to_plane" | "gicp"
+    engine: str,  # "point_to_plane" | "gicp" | "symmetric"
     max_iter: int,
     trim_fraction: float = 0.0,
     eps: float = 1e-3,
@@ -405,6 +406,7 @@ def _gn_sharded_grid_jit(
     m_shard = model_pad.shape[0] // n_dev
     interp = jax.default_backend() != "tpu"
     gicp = engine == "gicp"
+    sym = engine == "symmetric"
 
     def local_icp(m_loc, nrm_loc, p_loc_raw, cov_loc_raw, w_loc_raw):
         grid = build_model_grid(m_loc, target_tile=model_tile_target,
@@ -423,6 +425,13 @@ def _gn_sharded_grid_jit(
                 jnp.eye(3, dtype=dt), (n_pad_loc - n_loc, 3, 3)
             )
             cov0 = jnp.concatenate([cov_loc_raw, eye_pad], axis=0)[perm]
+        elif sym:
+            # kd-permute the local SCENE normals alongside the points — the
+            # symmetric objective's per-row side data (they never enter the
+            # ring fold; inert zero rows for kd padding, weight 0 anyway)
+            n_loc = p_loc_raw.shape[0]
+            zpad = jnp.zeros((p0.shape[0] - n_loc, 3), dt)
+            cov0 = jnp.concatenate([cov_loc_raw, zpad], axis=0)[perm]
         else:
             cov0 = 0
         stride = max(1, min(16, m_shard // 4))
@@ -455,6 +464,33 @@ def _gn_sharded_grid_jit(
                     "ij,njk,lk->nil", sim.R, cov_p, sim.R,
                     precision=jax.lax.Precision.HIGHEST,
                 )
+            elif sym:
+                # symmetric plane objective (engine/symmetric.py): residual
+                # along the sign-canonicalized normal SUM, J about p + y,
+                # both half-rotations folded onto the scene
+                HI = jax.lax.Precision.HIGHEST
+                pn = cov_p
+                flip = jnp.where(jnp.sum(pn * nv, axis=1) < 0.0, -1.0, 1.0)
+                nsum = pn + flip[:, None] * nv
+                r = jnp.sum(nsum * (p - y), axis=1) * w_eff
+                J = jnp.concatenate(
+                    [jnp.cross(p + y, nsum), nsum], axis=1
+                ) * w_eff[:, None]
+                A = jax.lax.psum(
+                    jnp.einsum("ni,nj->ij", J, J, precision=HI), axis)
+                b = jax.lax.psum(
+                    jnp.einsum("ni,n->i", J, r, precision=HI), axis)
+                x = -jnp.linalg.solve(A + 1e-9 * jnp.eye(6, dtype=dt), b)
+                R = _rodrigues(x[:3])
+                R2 = jnp.matmul(R, R, precision=HI)
+                sim = Similarity(s=jnp.asarray(1.0, dt), R=R2, t=R @ x[3:])
+                p_new = apply_similarity(p, sim)
+                cov_p = pn @ R2.T
+                nw = jax.lax.psum(jnp.sum(w_eff), axis)
+                err = jax.lax.psum(
+                    jnp.sum((jnp.sum(nsum * (p_new - y), axis=1)
+                             * w_eff) ** 2), axis
+                ) / nw
             else:
                 r = jnp.sum(nv * (p - y), axis=1) * w_eff
                 J = jnp.concatenate(
@@ -506,7 +542,8 @@ def _gn_sharded_grid_jit(
         return (p[inv_slots], sim_tot, err, it) + ((out[6],) if trace else ())
 
     shard = PartitionSpec(axis, None)
-    cov_spec = PartitionSpec(axis, None, None) if gicp else PartitionSpec()
+    cov_spec = (PartitionSpec(axis, None, None) if gicp
+                else shard if sym else PartitionSpec())
     rep = PartitionSpec()
     out = jax.shard_map(
         local_icp,
@@ -533,10 +570,11 @@ def gn_sharded_grid(
     mesh: Mesh | None = None,
     trace: bool = False,
 ):
-    """Sharded grid-pruned point-to-plane / GICP entry (dispatched from
-    ``icp_point_to_plane_sharded`` / ``icp_generalized_sharded`` when the
-    NN method resolves to ``"grid"``).  ``trace=True`` returns an
-    ``ICPTrace`` with the per-iteration error sequence."""
+    """Sharded grid-pruned point-to-plane / GICP / symmetric entry
+    (dispatched from ``icp_point_to_plane_sharded`` /
+    ``icp_generalized_sharded`` / ``icp_symmetric_sharded`` when the NN
+    method resolves to ``"grid"``).  ``trace=True`` returns an ``ICPTrace``
+    with the per-iteration error sequence."""
     from icp_tpu.engine.gicp import disk_covariances
     from icp_tpu.ops.normals import estimate_normals
 
@@ -545,6 +583,7 @@ def gn_sharded_grid(
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     gicp = engine == "gicp"
+    sym = engine == "symmetric"
 
     model_j = jnp.asarray(model, cfg.dtype)
     if model_normals is None:
@@ -576,13 +615,19 @@ def gn_sharded_grid(
              np.broadcast_to(np.eye(3, dtype=dtype), (n_extra, 3, 3))],
             axis=0,
         )
+    elif sym:
+        if scene_normals is None:
+            scene_normals = estimate_normals(
+                jnp.asarray(scene, cfg.dtype), k=normal_k
+            )
+        covs_pad = _pad_rows(np.asarray(scene_normals, dtype), n_dev, 0.0)
     else:
         covs_pad = np.zeros((), dtype)
 
     shard = NamedSharding(mesh, PartitionSpec(axis, None))
     row = NamedSharding(mesh, PartitionSpec(axis))
-    cov_sh = (NamedSharding(mesh, PartitionSpec(axis, None, None))
-              if gicp else NamedSharding(mesh, PartitionSpec()))
+    cov_sh = (NamedSharding(mesh, PartitionSpec(axis, None, None)) if gicp
+              else shard if sym else NamedSharding(mesh, PartitionSpec()))
     out = _gn_sharded_grid_jit(
         jax.device_put(model_pad, shard),
         jax.device_put(normals_pad, shard),

@@ -238,6 +238,116 @@ def test_sharded_trimmed_matches_single_device():
                                np.asarray(sharded.points), atol=1e-4)
 
 
+def test_grid_matches_dense():
+    """nn_method="grid" (kd-tile pruned NN, model normals riding the tile
+    payload sublanes, scene normals kd-permuted side data) must reproduce
+    the dense engine: same iteration count, same registered cloud."""
+    from icp_tpu import ICPConfig, icp_symmetric
+    from icp_tpu.ops.normals import estimate_normals
+
+    rng = np.random.default_rng(37)
+    model = _surface(rng, n=1100)
+    R, t = _rigid(rng, 0.15)
+    scene = (model @ R.T + t)[:800]  # unequal counts through the grid path
+    m32 = np.asarray(model, np.float32)
+    s32 = np.asarray(scene, np.float32)
+    nrm_m = estimate_normals(m32, k=16)
+    nrm_s = estimate_normals(s32, k=16)
+    base = dict(max_iter=30, threshold=1e-12, validate_inputs=False)
+    dense = icp_symmetric(
+        m32, s32, ICPConfig(nn_method="bcast", **base),
+        normals=nrm_m, scene_normals=nrm_s, trace=True)
+    grid = icp_symmetric(
+        m32, s32,
+        ICPConfig(nn_method="grid", grid_model_tile=128, grid_scene_tile=64,
+                  **base),
+        normals=nrm_m, scene_normals=nrm_s, trace=True)
+    it_d, it_g = int(dense.result.iters), int(grid.result.iters)
+    assert it_g == it_d
+    # rtol 1e-3: near the convergence floor the two paths' summation orders
+    # differ (kd-permuted vs natural row order) — points must still agree
+    np.testing.assert_allclose(
+        np.asarray(grid.errs)[:it_g], np.asarray(dense.errs)[:it_d],
+        rtol=1e-3, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(grid.result.points),
+                               np.asarray(dense.result.points), atol=1e-4)
+
+
+def test_grid_trimmed_ignores_outliers():
+    from icp_tpu import ICPConfig, icp_symmetric
+
+    rng = np.random.default_rng(41)
+    model = _surface(rng, n=700)
+    R, t = _rigid(rng, 0.08)
+    scene = model @ R.T + t
+    bad = rng.choice(len(scene), size=70, replace=False)
+    scene = scene.copy()
+    scene[bad] += rng.standard_normal((70, 3)) * 5.0 + 10.0
+    cfg = ICPConfig(max_iter=50, threshold=1e-12, nn_method="grid",
+                    grid_model_tile=128, grid_scene_tile=64,
+                    validate_inputs=False, trim_fraction=0.2)
+    res = icp_symmetric(np.asarray(model, np.float32),
+                        np.asarray(scene, np.float32), cfg)
+    good = np.setdiff1d(np.arange(len(scene)), bad)
+    dev = np.linalg.norm(
+        np.asarray(res.points)[good] - model[good].astype(np.float32), axis=1)
+    assert np.median(dev) < 1e-3
+
+
+def test_bf16_prefilter_passthrough():
+    """ADVICE r3: an explicit nn_method="bf16" must reach the approximate
+    MXU prefilter (via closest_point_indices), not be silently remapped —
+    on an exact-transform problem it still registers."""
+    from icp_tpu import ICPConfig, icp_symmetric
+
+    rng = np.random.default_rng(43)
+    model = _surface(rng, n=500)
+    R, t = _rigid(rng, 0.1)
+    scene = model @ R.T + t
+    cfg = ICPConfig(max_iter=40, threshold=1e-10, nn_method="bf16",
+                    validate_inputs=False)
+    res = icp_symmetric(np.asarray(model, np.float32),
+                        np.asarray(scene, np.float32), cfg)
+    dev = np.linalg.norm(np.asarray(res.points) - model.astype(np.float32),
+                         axis=1)
+    assert np.median(dev) < 1e-2
+
+
+def test_sharded_grid_matches_single_grid():
+    """icp_symmetric_sharded with nn_method="grid" dispatches to the shared
+    GN sharded-grid loop — must match the single-device grid engine."""
+    import jax
+
+    from icp_tpu import ICPConfig, icp_symmetric, icp_symmetric_sharded
+    from icp_tpu.ops.normals import estimate_normals
+    from icp_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(47)
+    model = _surface(rng, n=1100)
+    R, t = _rigid(rng, 0.12)
+    scene = (model @ R.T + t)[:801]  # odd count exercises shard padding
+    m32 = np.asarray(model, np.float32)
+    s32 = np.asarray(scene, np.float32)
+    nrm_m = estimate_normals(m32, k=16)
+    nrm_s = estimate_normals(s32, k=16)
+    cfg = ICPConfig(max_iter=30, threshold=1e-12, nn_method="grid",
+                    grid_model_tile=128, grid_scene_tile=64,
+                    validate_inputs=False)
+    single = icp_symmetric(m32, s32, cfg, normals=nrm_m, scene_normals=nrm_s,
+                           trace=True)
+    sharded = icp_symmetric_sharded(m32, s32, cfg, normals=nrm_m,
+                                    scene_normals=nrm_s,
+                                    mesh=make_mesh(), trace=True)
+    it_a, it_b = int(single.result.iters), int(sharded.result.iters)
+    assert it_a == it_b
+    np.testing.assert_allclose(
+        np.asarray(single.errs)[:it_a], np.asarray(sharded.errs)[:it_b],
+        rtol=2e-4, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(single.result.points),
+                               np.asarray(sharded.result.points), atol=1e-4)
+
+
 def test_register_pair_engine_symmetric():
     from icp_tpu.config import ICPConfig
     from icp_tpu.slam.pairwise import register_pair
