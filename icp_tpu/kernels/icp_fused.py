@@ -42,19 +42,25 @@ across chunks keeps the lowest chunk, the final masked index-min picks the
 lowest global index).  The winning coordinates are carried PRE-SCALED and
 un-scaled by -0.5 at extraction — exact (a power of two).
 
-Measured design notes (v5e, cow 2,903^2 — the A/B journey is in
-docs/PERF.md "fully-fused iteration"):
-  * the coordinate-carrying expansion fold is FASTER than the plain
-    subtract-form index fold (21.9 us vs 26.2 us per iteration);
-  * the per-tile winner extraction (a serial chain of cross-lane
-    reductions) costs ~0.8 us/tile; stacking the three coordinate planes on
-    the sublane axis to share one reduction was measured NEUTRAL (the
-    concat relayouts cost what the reductions saved) — kept as 3 reductions
-    for simplicity;
-  * software-pipelining the extraction against the next tile's fold through
-    VMEM scratch was tried twice (double-buffered dynamic offsets, then a
-    single static bank) and REJECTED both times: spilling the fold carries
-    out of registers costs ~16 us/iter, more than the latency it hides.
+Measured design notes (v5e, cow 2,903^2 — the full A/B journey incl. four
+rejected structures is in docs/PERF.md "round 4: fully-fused iteration"):
+  * this kernel: 41.8 us/iter bare (scalar-serialized loop), statistically
+    equal to the composable pipeline's 42.8 — the glue it removes (~12 us
+    HBM gather + stats/apply passes) comes back as in-kernel extraction
+    cost; the win is architectural (one dispatch, a 32-float loop carry, no
+    (N,3) materialization between iterations), not throughput;
+  * scene tile 128 is the measured optimum: the 5-array fold carry spills
+    registers above it (tn=256 -> 54.3, 512 -> 52.3) and per-tile overhead
+    dominates below it (0.65 us/tile line: 46 tiles -> 54.1, 91 -> 82.8,
+    182 -> 145.9);
+  * the per-tile winner extraction (a serial chain of 5 dependent
+    cross-lane reductions) is the structural cost: component-sliced
+    kernels measured apply+fold+argmin 28.0, +coordinate extraction 41.8,
+    +stats 44.8, +scalar accumulation 50.6 (tiled shape, tn=128);
+  * three alternatives REJECTED on measurement: deferred whole-cloud
+    extraction through VMEM scratch slabs 59.2 (stores kill the
+    register-resident fold), model-on-lane-axis tiled blocks 50.7, 2-carry
+    fold + masked coordinate pass 47.1.
 
 Scale limits: the model rides one VMEM-resident block, so this path is
 gated to models <= _MAX_FUSED_MODEL points (the grid engine owns larger
@@ -219,6 +225,8 @@ def _icp_iter_kernel(p_ref, mt_ref, state_ref, out_ref, acc_ref, *,
         write_state_block(out_ref, *out)
 
 
+
+
 def prepare_fused_inputs(scene: jax.Array, model: jax.Array,
                          *, scene_tile: int = 128):
     """Pad/transpose the clouds into the kernel's layouts (done ONCE outside
@@ -257,7 +265,14 @@ def prepare_fused_inputs(scene: jax.Array, model: jax.Array,
 def fused_icp_step(prepared, state: jax.Array, *, with_scale: bool = True,
                    interpret: bool = False) -> jax.Array:
     """One ICP iteration: (prepared inputs, (1,32) state block) -> new state
-    block.  The loop carry is the state block alone."""
+    block.  The loop carry is the state block alone.
+
+    One kernel shape ships: the chunked coordinate-carrying fold.  Three
+    structural alternatives were built and measured SLOWER on the chip
+    (docs/PERF.md round-4 section): model-on-the-lane-axis tiled blocks
+    (50.7 us vs 41.8), deferred extraction through VMEM slabs (59.2 — the
+    stores force the fold carries out of registers), and a 2-carry fold
+    with a masked second coordinate pass (47.1)."""
     p0, mt, n, (tn, n_tiles, n_chunks) = prepared
     kernel = functools.partial(
         _icp_iter_kernel,
