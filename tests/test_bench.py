@@ -8,6 +8,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from icp_tpu.bench.harness import amortized_op_time, wall_time
 from icp_tpu.bench.scaling import run_cell, synthetic_pair
@@ -62,6 +63,7 @@ def test_graft_entry_single_chip():
     assert p_new.shape == args[1].shape
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
@@ -82,6 +84,7 @@ def _run_bench(extra_env, timeout=300):
     )
 
 
+@pytest.mark.slow
 def test_bench_success_path_emits_one_json_line():
     proc = _run_bench({})
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -94,6 +97,7 @@ def test_bench_success_path_emits_one_json_line():
     assert rec["vs_baseline"] > 0
 
 
+@pytest.mark.slow
 def test_bench_watchdog_kills_hung_phase_and_diagnoses():
     """The round-2 failure mode: the tunnel hangs inside backend init / remote
     compile.  The supervisor must kill the exact child process group, retry,
@@ -115,6 +119,7 @@ def test_bench_watchdog_kills_hung_phase_and_diagnoses():
     assert all(a["phase"] == "gate" for a in att)
 
 
+@pytest.mark.slow
 def test_bench_retry_recovers_from_one_bad_attempt(tmp_path):
     """First attempt hangs (flag file present -> child consumes it and
     sleeps), watchdog kills it, second attempt runs clean -> rc 0."""
@@ -132,6 +137,7 @@ def test_bench_retry_recovers_from_one_bad_attempt(tmp_path):
     assert not flag.exists()
 
 
+@pytest.mark.slow
 def test_bench_rc0_without_verdict_diagnosed():
     """A child that exits 0 with no JSON verdict (lost stdout) must still
     yield a non-null error in the diagnostic JSON, not "error": null."""

@@ -76,6 +76,7 @@ def test_chain_edges_from_pairs_flags_outlier():
     assert chain_edges_from_pairs([pr(0.0)] * 3)[1] == []
 
 
+@pytest.mark.slow
 def test_verified_inlier_fraction(cow_scans):
     import jax.numpy as jnp
 
@@ -105,6 +106,7 @@ def test_verified_inlier_fraction(cow_scans):
     assert frac_true > 2 * max(frac_junk, 1e-3), (frac_true, frac_junk)
 
 
+@pytest.mark.slow
 def test_chain_edges_weighted_by_verification(cow_scans):
     import jax.numpy as jnp
 
@@ -128,6 +130,7 @@ def test_chain_edges_weighted_by_verification(cow_scans):
     assert 2 in suspects, (suspects, w)
 
 
+@pytest.mark.slow
 def test_detect_closures_synthetic(cow_scans):
     scans, R, t = cow_scans
     cands = detect_loop_closures(scans, min_separation=2, max_points=512,
@@ -148,6 +151,7 @@ def test_detect_closures_synthetic(cow_scans):
     assert rot_err < 10.0
 
 
+@pytest.mark.slow
 def test_refine_closures_gates_false_positives(cow_scans):
     scans, R, t = cow_scans
     cands = detect_loop_closures(scans, min_separation=2, max_points=512,

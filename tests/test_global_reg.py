@@ -128,6 +128,7 @@ def test_ransac_alignment_with_outliers_and_scale(rng):
     assert 0.2 < float(frac) < 0.35  # ~50/200 inliers
 
 
+@pytest.mark.slow
 def test_global_register_full_cloud_large_rotation(rng):
     # full-cloud case: same points both sides, 150-degree pose offset —
     # PCA handles this too; global_register must as well
@@ -144,6 +145,7 @@ def test_global_register_full_cloud_large_rotation(rng):
     assert float(res.inlier_fraction) > 0.5
 
 
+@pytest.mark.slow
 def test_global_register_partial_overlap(bunny_crops):
     # THE case PCA cannot do: ~1/3 overlap, 150-degree rotation, real
     # scan noise.  Requires crop-stable normal orientation + the spectral

@@ -46,6 +46,7 @@ def test_kd_order_tiles_are_compact(rng):
 
 
 @pytest.mark.parametrize("n,m", [(500, 800), (1000, 1000)])
+@pytest.mark.slow
 def test_pruned_matches_oracle_with_fallback(rng, n, m):
     model = _sphere(m, seed=1)
     scene = _sphere(n, seed=2) * 1.02 + np.float32([0.01, -0.02, 0.005])
@@ -64,6 +65,7 @@ def test_pruned_matches_oracle_with_fallback(rng, n, m):
     )
 
 
+@pytest.mark.slow
 def test_pruned_exact_when_not_overflowing(rng):
     """With tight bounds (prev = true NN) the pruned path itself must be
     exact — this pins the culling math, not just the fallback."""

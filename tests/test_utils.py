@@ -53,6 +53,7 @@ def test_icp_guard_flag(cow_pair):
     assert np.isfinite(float(res.err))
 
 
+@pytest.mark.slow
 def test_profiling_trace_smoke(tmp_path):
     """trace() must not break the computation whether or not the backend
     supports profiling."""

@@ -110,6 +110,7 @@ def test_voxel_np_bucket_reuses_one_program(rng):
     assert voxel_downsample._cache_size() == before
 
 
+@pytest.mark.slow
 def test_slam_cli_voxel_flag(tmp_path, rng):
     import os
     import subprocess
