@@ -62,9 +62,9 @@ rejected structures is in docs/PERF.md "round 4: fully-fused iteration"):
     register-resident fold), model-on-lane-axis tiled blocks 50.7, 2-carry
     fold + masked coordinate pass 47.1.
 
-Scale limits: the model rides one VMEM-resident block, so this path is
-gated to models <= _MAX_FUSED_MODEL points (the grid engine owns larger
-clouds); the chunk loop is fully unrolled below _UNROLL_CHUNKS chunks and
+Scale limits: the default engine path is gated to models whose fold fully
+unrolls (<= _MAX_FUSED_MODEL points — see the measured horse crossover at
+that constant); the chunk loop is fully unrolled below _UNROLL_CHUNKS chunks and
 block-unrolled inside a ``fori_loop`` above it.
 """
 
@@ -88,10 +88,16 @@ _PAD_COORD = 1.0e17  # padded model points: distance ~3e34, never wins
 _CHUNK = 128  # one vector-lane width per fold step
 _UNROLL_CHUNKS = 40  # full unroll up to here; blocked fori_loop beyond
 _FORI_UNROLL = 8  # chunks per fori_loop step for large models
-# Model size cap for the fused dense path: the transposed model block is
-# (8, Mp) f32 VMEM-resident = 32 B/point (2 MB at the cap).  Clouds beyond
-# this belong to the grid engine anyway (docs/PERF.md "spatially-pruned NN").
-_MAX_FUSED_MODEL = 65536
+# Model size cap for the fused dense path = the fully-unrolled fold range.
+# MEASURED crossover (v5e, round 4): at horse size (48,485 pts, 379 chunks
+# through the blocked fori_loop) the fused iteration runs 8.82 ms/iter vs
+# the composable pipeline's 6.79 — the fori blocks break the
+# register-resident fold pipeline.  At cow size (23 chunks, fully unrolled)
+# the two are equal (41.8 vs 42.8 us) and the fused kernel wins on
+# architecture (one dispatch, 32-float carry).  So the default engine path
+# uses the fused kernel only where the fold fully unrolls; the fori path
+# below remains for callers driving fused_icp_step directly.
+_MAX_FUSED_MODEL = _UNROLL_CHUNKS * _CHUNK  # 5,120 points
 
 
 def _round_up(x: int, m: int) -> int:
@@ -300,7 +306,9 @@ def fused_icp_step(prepared, state: jax.Array, *, with_scale: bool = True,
 def fused_path_available(solver: str, nn_method: str, trim_fraction: float,
                          n_model: int) -> bool:
     """The fully-fused iteration kernel serves the default dense TPU path:
-    qcp_fused solver + pallas NN, untrimmed, model small enough to ride one
-    VMEM block.  Everything else uses the composable op pipeline."""
+    qcp_fused solver + pallas NN, untrimmed, model small enough for the
+    fully-unrolled fold (the fori path measured 30% slower than the
+    composable pipeline at horse size — see _MAX_FUSED_MODEL).  Everything
+    else uses the composable op pipeline."""
     return (solver == "qcp_fused" and nn_method == "pallas"
             and trim_fraction == 0.0 and n_model <= _MAX_FUSED_MODEL)
