@@ -61,8 +61,16 @@ def load_metrics(path: str) -> dict[str, float]:
 
 
 def compare(old: dict[str, float], new: dict[str, float],
-            tolerance: float) -> int:
+            tolerance: float, skip: list[str] | None = None) -> int:
     rc = 0
+    for name in skip or []:
+        # measurement-protocol fixes produce false regressions (e.g. the r03
+        # err_compute rows were 0.1 us FLOORS — r04 measures the real 0.94
+        # us); a skip must name the row explicitly and shows in the output
+        if name in old:
+            print(f"skipping {name} (old={old.pop(name):.4g} — "
+                  "explicitly excluded by --skip)")
+            new.pop(name, None)
     width = max((len(k) for k in old | new), default=10)
     print(f"{'metric':<{width}}  {'old':>12}  {'new':>12}  {'ratio':>7}  verdict")
     for name in sorted(old):
@@ -91,13 +99,16 @@ def main(argv=None) -> int:
     ap.add_argument("new", help="candidate artifact (JSON or JSONL)")
     ap.add_argument("--tolerance", type=float, default=0.15,
                     help="allowed fractional rate drop (default 0.15)")
+    ap.add_argument("--skip", nargs="*", default=[],
+                    help="row names to exclude (for measurement-protocol "
+                         "fixes that would read as false regressions)")
     args = ap.parse_args(argv)
     old = load_metrics(args.old)
     new = load_metrics(args.new)
     if not old:
         print(f"no metrics found in {args.old}", file=sys.stderr)
         return 2
-    return compare(old, new, args.tolerance)
+    return compare(old, new, args.tolerance, skip=args.skip)
 
 
 if __name__ == "__main__":
