@@ -251,3 +251,25 @@ def test_hw_symmetric_engine_one_chip_mesh(cow_f32):
     assert int(d.iters) == iters
     np.testing.assert_allclose(np.asarray(d.points),
                                np.asarray(s.result.points), atol=1e-5)
+
+
+def test_hw_symmetric_grid_matches_dense(cow_f32):
+    """Grid-pruned symmetric (round 4: kd tiles, model normals in the
+    payload sublanes, kd-permuted scene normals) compiled on the real chip
+    must reproduce the dense engine's registration."""
+    from icp_tpu import ICPConfig
+    from icp_tpu.engine.symmetric import icp_symmetric
+    from icp_tpu.ops.normals import estimate_normals
+
+    ref, tr1 = cow_f32
+    ref, tr1 = np.ascontiguousarray(ref[::4]), np.ascontiguousarray(tr1[::4])
+    nm = estimate_normals(jnp.asarray(ref, jnp.float32), k=12)
+    ns = estimate_normals(jnp.asarray(tr1, jnp.float32), k=12)
+    base = dict(max_iter=15, dtype=jnp.float32, threshold=1e-10)
+    dense = icp_symmetric(ref, tr1, ICPConfig(nn_method="pallas", **base),
+                          normals=nm, scene_normals=ns)
+    grid = icp_symmetric(ref, tr1, ICPConfig(nn_method="grid", **base),
+                         normals=nm, scene_normals=ns)
+    assert int(grid.iters) == int(dense.iters)
+    np.testing.assert_allclose(np.asarray(grid.points),
+                               np.asarray(dense.points), atol=1e-4)
