@@ -343,6 +343,46 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
             f"20-iter wall {t_small*1e3:.1f} ms)"
         )
 
+    if (not include or "full_loop_pipeline" in include) and on_tpu:
+        # Same loop with the whole-iteration fused kernel disabled: the
+        # composable pipeline (pallas NN + HBM gather + XLA stats + fused
+        # scalar solve).  Tracked per round so the fused-vs-pipeline A/B
+        # (a draw in r04: 41.8 vs 42.8 us — docs/PERF.md) stays a diffable
+        # artifact, not prose.  Patched via the gate predicate; restored
+        # in the finally.
+        import icp_tpu.kernels.icp_fused as _fm
+
+        _progress("full loop (pipeline, fused kernel disabled) ...")
+        orig_gate = _fm.fused_path_available
+        _fm.fused_path_available = lambda *a, **k: False
+        try:
+            def timed_pipeline(k):
+                def run():
+                    res = icp_fixed_iters(
+                        ref, tr1, n_iters=k, solver=solver,
+                        nn_method=nn_method, scene_tile=264,
+                        # scene_tile=264 (vs the default 256; still a
+                        # sublane multiple) forces a fresh jit cache entry
+                        # so the fused-path program compiled above is not
+                        # reused and the patched gate is re-evaluated.
+                    )
+                    float(res.err)
+
+                return wall_time(run)
+
+            t_small = timed_pipeline(n_iters)
+            t_big = timed_pipeline(n_iters + 500)
+            per_iter = (t_big - t_small) / 500
+            results.append(dict(
+                benchmark="full_loop_pipeline_per_iter",
+                time_us=per_iter * 1e6,
+                rate_per_s=1.0 / per_iter,
+                point_pairs_per_s=n_pairs / per_iter,
+            ))
+            _progress(f"full loop (pipeline): {per_iter*1e6:.1f} us/iter")
+        finally:
+            _fm.fused_path_available = orig_gate
+
     if (not include or "full_loop_grid" in include) and on_tpu:
         from icp_tpu.engine.grid import _icp_grid
 
