@@ -141,6 +141,24 @@ def test_fused_fixed_iters_and_warm_start(cow_pair):
     )
 
 
+@pytest.mark.parametrize("n,m", [
+    (127, 128), (128, 129), (129, 127),   # scene-tile boundary
+    (8, 255), (9, 256), (7, 257),         # chunk boundary + tiny scenes
+])
+def test_fused_boundary_sizes_match_pipeline(n, m, rng):
+    """Padding edges: scene sizes straddling the 128-row tile and model
+    sizes straddling the 128-lane chunk must not leak padded rows/lanes
+    into the winner or the stats."""
+    p = rng.standard_normal((n, 3)).astype(np.float32)
+    mm = rng.standard_normal((m, 3)).astype(np.float32) * 2.0
+    step, _, _ = _fused_step(p, mm)
+    _, sim, _ = _pipeline_step(jnp.asarray(p), jnp.asarray(mm))
+    np.testing.assert_allclose(np.asarray(step.R), np.asarray(sim.R),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(step.t), np.asarray(sim.t),
+                               atol=1e-5)
+
+
 def test_fused_path_gating():
     assert fused_path_available("qcp_fused", "pallas", 0.0, 1000)
     assert not fused_path_available("qcp_fused", "pallas", 0.1, 1000)  # trim
