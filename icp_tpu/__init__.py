@@ -8,7 +8,14 @@ the component-by-component mapping and docs/ for the architecture.
 from icp_tpu.config import ICPConfig
 from icp_tpu.engine.batched import icp_batched
 from icp_tpu.engine.gicp import icp_generalized, icp_generalized_sharded
-from icp_tpu.engine.icp import ICPResult, ICPTrace, icp, icp_fixed_iters, icp_step
+from icp_tpu.engine.icp import (
+    ICPResult,
+    ICPTrace,
+    icp,
+    icp_fixed_iters,
+    icp_resumable,
+    icp_step,
+)
 from icp_tpu.engine.point_to_plane import (
     icp_point_to_plane,
     icp_point_to_plane_sharded,
@@ -93,6 +100,7 @@ __all__ = [
     "voxel_downsample",
     "voxel_downsample_np",
     "icp_fixed_iters",
+    "icp_resumable",
     "icp_sharded",
     "icp_sharded_2d",
     "icp_step",
