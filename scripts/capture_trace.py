@@ -31,7 +31,6 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from icp_tpu.config import ICPConfig
     from icp_tpu.engine.global_reg import global_register
     from icp_tpu.engine.icp import icp_fixed_iters
     from icp_tpu.io.csv import load_matrix

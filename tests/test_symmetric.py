@@ -8,7 +8,7 @@ problems.
 import numpy as np
 import pytest
 
-from tests.conftest import data_path, random_rotation
+from tests.conftest import data_path
 
 
 def _surface(rng, n=600):
