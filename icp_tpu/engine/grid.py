@@ -46,7 +46,7 @@ from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
 _BIG = 3.0e38
 
 
-def _prepare_scene(scene: jax.Array, target_tile: int):
+def _prepare_scene(scene: jax.Array, target_tile: int, n_valid=None):
     """kd-sort + pad the scene; returns
     (p_sorted, weights, inv_slots, tn, perm).
 
@@ -54,6 +54,11 @@ def _prepare_scene(scene: jax.Array, target_tile: int):
     ``points_sorted[inv_slots]`` restores the caller's order; ``perm`` maps
     sorted slots back to padded original rows (for permuting per-point
     side data such as GICP covariances alongside the points).
+
+    ``n_valid``: optional DYNAMIC valid-row count for bucket-padded scenes
+    (``ops/padding.py``; bucket pad rows must already be replica-filled so
+    kd tiles stay compact) — rows past it get weight 0 exactly like the
+    tile-multiple padding this function adds itself.
     """
     n = scene.shape[0]
     lvl = levels_for(n, target_tile)
@@ -63,7 +68,8 @@ def _prepare_scene(scene: jax.Array, target_tile: int):
     s_pad = jnp.concatenate([scene, pad.astype(scene.dtype)], axis=0)
     perm = kd_order(s_pad, lvl)
     p_sorted = s_pad[perm]
-    w = (perm < n).astype(scene.dtype)
+    limit = n if n_valid is None else jnp.asarray(n_valid, perm.dtype)
+    w = (perm < limit).astype(scene.dtype)
     inv_slots = jnp.argsort(perm)[:n]
     return p_sorted, w, inv_slots, tn, perm
 
@@ -176,17 +182,23 @@ def _icp_grid(
     n_iters=None,  # dynamic iteration count (mode="fixed") or dynamic
     #               early-exit bound <= max_iter (mode="while")
     init_sim=None,  # optional warm-start Similarity (resume / PCA init)
+    scene_n=None,  # dynamic bucket-padding valid counts (ops/padding.py)
+    model_n=None,
 ):
     dt = scene.dtype
     interp = jax.default_backend() != "tpu"
     n = scene.shape[0]
+    from icp_tpu.engine.icp import _bucket_prologue
+
+    model, scene, _ = _bucket_prologue(model, scene, scene_n, model_n)
     if init_sim is not None:
         scene = apply_similarity(scene, init_sim)
 
     # One-time (hoisted out of the loop by XLA): model kd index, scene kd
     # sort, first-iteration bounds from a model subsample.
     grid = build_model_grid(model, target_tile=model_tile_target)
-    p0, w, inv_slots, tn, _ = _prepare_scene(scene, scene_tile_target)
+    p0, w, inv_slots, tn, _ = _prepare_scene(scene, scene_tile_target,
+                                             n_valid=scene_n)
     stride = max(1, min(bound_stride, model.shape[0] // 4))
     idx0 = initial_bound_indices(p0, grid.model_orig, stride=stride,
                                  interpret=interp)

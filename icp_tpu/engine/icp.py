@@ -55,11 +55,16 @@ class ICPTrace(NamedTuple):
     # convergence, mirroring the reference's early break)
 
 
-def _trim_weights(p: jax.Array, y: jax.Array, trim_fraction: float):
+def _trim_weights(p: jax.Array, y: jax.Array, trim_fraction: float,
+                  mask: jax.Array | None = None):
     """Trimmed-ICP weights: keep the (1 - trim_fraction) best correspondences
     by current squared distance (robust to partial overlap / outliers — a
     capability the reference lacks entirely).  Static trim_fraction == 0.0
     compiles to the exact untrimmed program.
+
+    ``mask``: optional (N,) 0/1 bucket-padding validity mask
+    (``ops/padding.py``) — pad rows are excluded from the quantile and get
+    weight 0.
 
     Threshold via the 2-round histogram quantile (``ops/quantile.py``) —
     the ``jnp.quantile`` sort was an O(N log N) device sort per iteration
@@ -68,8 +73,17 @@ def _trim_weights(p: jax.Array, y: jax.Array, trim_fraction: float):
     from icp_tpu.ops.quantile import histogram_quantile
 
     d2 = jnp.sum((y - p) ** 2, axis=1)
-    tau = histogram_quantile(d2, 1.0 - trim_fraction)
-    return (d2 <= tau).astype(p.dtype)
+    tau = histogram_quantile(d2, 1.0 - trim_fraction, mask)
+    w = (d2 <= tau).astype(p.dtype)
+    return w if mask is None else w * mask
+
+
+def _step_weights(p, y, trim_fraction: float, mask):
+    """Per-correspondence weights for one iteration: trim mask, bucket
+    validity mask, their product, or None (the exact unweighted program)."""
+    if trim_fraction > 0.0:
+        return _trim_weights(p, y, trim_fraction, mask)
+    return mask
 
 
 def icp_step(
@@ -84,8 +98,13 @@ def icp_step(
     model_tile: int,
     acc_dtype=None,
     trim_fraction: float = 0.0,
+    scene_mask=None,
 ):
     """One ICP iteration: correspondence -> alignment -> apply+error.
+
+    ``scene_mask``: optional (N,) validity mask for bucket-padded scenes
+    (``ops/padding.py``) — pad rows are excluded from the trim quantile,
+    the alignment statistics, and the error mean.
 
     Returns (p_new, per-iteration Similarity, reported error).
     """
@@ -93,8 +112,8 @@ def icp_step(
         p, model, method=nn_method, scene_tile=scene_tile, model_tile=model_tile
     )
     y = jnp.take(model, idx, axis=0)
-    if trim_fraction > 0.0:
-        w = _trim_weights(p, y, trim_fraction)
+    w = _step_weights(p, y, trim_fraction, scene_mask)
+    if w is not None:
         stats = compute_alignment_stats(p, y, acc_dtype=acc_dtype, weights=w)
         sim = alignment_from_stats(stats, solver=solver, with_scale=with_scale)
         p_new = apply_similarity(p, sim)
@@ -123,6 +142,7 @@ def _step_and_compose(
     model_tile,
     trim_fraction: float = 0.0,
     fused_prep=None,
+    scene_mask=None,
 ):
     """One iteration + transform composition.
 
@@ -170,7 +190,7 @@ def _step_and_compose(
             interpret=interp,
         )
         y = jnp.take(model, idx, axis=0)
-        w = _trim_weights(p, y, trim_fraction) if trim_fraction > 0.0 else None
+        w = _step_weights(p, y, trim_fraction, scene_mask)
         stats = compute_alignment_stats(p, y, weights=w)
         # err comes from the kernel in closed form (gy + s^2 gp - 2 s lambda,
         # Horn's residual at the optimum; with weighted stats this is the
@@ -194,6 +214,7 @@ def _step_and_compose(
         scene_tile=scene_tile,
         model_tile=model_tile,
         trim_fraction=trim_fraction,
+        scene_mask=scene_mask,
     )
     return p_new, compose(sim_tot, sim), err
 
@@ -220,6 +241,25 @@ def _fused_prep(model, scene, solver, nn_method, trim_fraction, scene_tile):
                                 model.shape[0]):
         return None
     return prepare_fused_inputs(scene, model)
+
+
+def _bucket_prologue(model, scene, scene_n, model_n):
+    """Bucket-padding normalization (``ops/padding.py``), loop-invariant:
+    pad rows of both clouds become replicas of the last real row (spatially
+    compact, can never win an argmin tie — lowest index wins) and the scene
+    gets a validity mask excluding its pad rows from every statistic.
+    Returns (model, scene, scene_mask-or-None)."""
+    mask = None
+    if scene_n is not None:
+        from icp_tpu.ops.padding import replica_fill, valid_mask
+
+        scene = replica_fill(scene, scene_n)
+        mask = valid_mask(scene.shape[0], scene_n, scene.dtype)
+    if model_n is not None:
+        from icp_tpu.ops.padding import replica_fill
+
+        model = replica_fill(model, model_n)
+    return model, scene, mask
 
 
 def _init_transform_state(fused: bool, dt, init_sim=None):
@@ -289,10 +329,16 @@ def _icp_while(
     model_tile: int,
     trim_fraction: float = 0.0,
     init_sim=None,
+    scene_n=None,  # dynamic bucket-padding valid counts (ops/padding.py):
+    model_n=None,  # one compiled program serves every cloud in the bucket
 ):
     dt = scene.dtype
-    prep = _fused_prep(model, scene, solver, nn_method, trim_fraction,
-                       scene_tile)
+    model, scene, scene_mask = _bucket_prologue(model, scene, scene_n, model_n)
+    # the fused whole-iteration kernel has no masked-stats path; bucketed
+    # runs use the pipeline (bucketed clouds exceed its 5,120-point range
+    # in practice anyway)
+    prep = None if scene_mask is not None else _fused_prep(
+        model, scene, solver, nn_method, trim_fraction, scene_tile)
     if prep is None:
         scene = _warm_start(scene, init_sim)  # fused kernel applies in-kernel
     bound = jnp.asarray(max_iter if n_iters is None else n_iters, jnp.int32)
@@ -315,6 +361,7 @@ def _icp_while(
             model_tile=model_tile,
             trim_fraction=trim_fraction,
             fused_prep=prep,
+            scene_mask=scene_mask,
         )
         return p_new, sim_tot2, err, it + 1
 
@@ -371,6 +418,8 @@ def _icp_while_guarded(
     model_tile: int,
     trim_fraction: float = 0.0,
     init_sim=None,
+    scene_n=None,
+    model_n=None,
 ):
     """``_icp_while`` with an in-loop failure guard: the carry tracks the
     best error seen and a status word; a non-finite or >100x-diverged error
@@ -378,8 +427,9 @@ def _icp_while_guarded(
     no host round-trip per iteration).  The reference exits the process on
     the few errors it checks at all (SURVEY.md §5)."""
     dt = scene.dtype
-    prep = _fused_prep(model, scene, solver, nn_method, trim_fraction,
-                       scene_tile)
+    model, scene, scene_mask = _bucket_prologue(model, scene, scene_n, model_n)
+    prep = None if scene_mask is not None else _fused_prep(
+        model, scene, solver, nn_method, trim_fraction, scene_tile)
     if prep is None:
         scene = _warm_start(scene, init_sim)
 
@@ -404,6 +454,7 @@ def _icp_while_guarded(
             model_tile=model_tile,
             trim_fraction=trim_fraction,
             fused_prep=prep,
+            scene_mask=scene_mask,
         )
         status = jnp.where(
             ~jnp.isfinite(err),
@@ -474,6 +525,8 @@ def _icp_scan_trace(
     model_tile: int,
     trim_fraction: float = 0.0,
     init_sim=None,
+    scene_n=None,
+    model_n=None,
 ):
     """Early-exiting trace variant: the reference's loop + per-iteration
     error log (``src/cpu.cc:55-79``).
@@ -484,8 +537,9 @@ def _icp_scan_trace(
     200-iteration budget converging in 7).  Unwritten tail entries are NaN;
     callers slice ``errs[:iters]``."""
     dt = scene.dtype
-    prep = _fused_prep(model, scene, solver, nn_method, trim_fraction,
-                       scene_tile)
+    model, scene, scene_mask = _bucket_prologue(model, scene, scene_n, model_n)
+    prep = None if scene_mask is not None else _fused_prep(
+        model, scene, solver, nn_method, trim_fraction, scene_tile)
     if prep is None:
         scene = _warm_start(scene, init_sim)
 
@@ -507,6 +561,7 @@ def _icp_scan_trace(
             model_tile=model_tile,
             trim_fraction=trim_fraction,
             fused_prep=prep,
+            scene_mask=scene_mask,
         )
         errs = jax.lax.dynamic_update_index_in_dim(
             errs, err_new.astype(errs.dtype), it, 0
@@ -556,13 +611,16 @@ def icp_fixed_iters(
     scene_tile: int = 256,
     model_tile: int = 4096,
     trim_fraction: float = 0.0,
+    scene_n=None,
+    model_n=None,
 ):
     """Run exactly ``n_iters`` iterations with no convergence exit — the
     benchmark workload (reference full-loop benches use 20 iterations,
     ``src/bench.cc:435-445``)."""
     dt = scene.dtype
-    prep = _fused_prep(model, scene, solver, nn_method, trim_fraction,
-                       scene_tile)
+    model, scene, scene_mask = _bucket_prologue(model, scene, scene_n, model_n)
+    prep = None if scene_mask is not None else _fused_prep(
+        model, scene, solver, nn_method, trim_fraction, scene_tile)
 
     def body(_, carry):
         p, sim_tot, __ = carry
@@ -578,6 +636,7 @@ def icp_fixed_iters(
             model_tile=model_tile,
             trim_fraction=trim_fraction,
             fused_prep=prep,
+            scene_mask=scene_mask,
         )
         return p_new, sim_tot2, err
 
@@ -620,6 +679,8 @@ def icp(
     guard=False,
     init: Optional[Similarity] = None,
     n_iters=None,
+    scene_n=None,
+    model_n=None,
 ):
     """Register ``scene`` onto ``model``; both (N, 3) arrays.
 
@@ -647,6 +708,15 @@ def icp(
     compiled program serves every bound, so resumable chunking never
     recompiles for a partial final chunk.  Plain (non-trace, non-guard)
     runs only.
+
+    ``scene_n`` / ``model_n``: optional DYNAMIC valid-row counts for
+    bucket-padded clouds (``ops/padding.py``) — rows past the count are
+    padding: replica-filled internally and excluded (weight 0) from the trim
+    quantile, the alignment statistics, and the error mean.  One compiled
+    program serves every cloud in the bucket — the whole point: a scan
+    chain over varying cloud sizes pays ONE compile per bucket instead of
+    one per shape.  ``result.points`` keeps the padded shape; slice
+    ``[:scene_n]``.
     """
     cfg = config or ICPConfig()
     if n_iters is not None and (trace or guard):
@@ -666,6 +736,10 @@ def icp(
     backend = jax.default_backend()
     if init is not None:
         init = _cast_sim(init, cfg.dtype)
+    if scene_n is not None:
+        scene_n = jnp.asarray(scene_n, jnp.int32)
+    if model_n is not None:
+        model_n = jnp.asarray(model_n, jnp.int32)
     if cfg.resolved_nn_method(backend) == "grid":
         from icp_tpu.engine.grid import _icp_grid
 
@@ -685,6 +759,8 @@ def icp(
             n_iters=None if n_iters is None else jnp.asarray(n_iters,
                                                              jnp.int32),
             init_sim=init,
+            scene_n=scene_n,
+            model_n=model_n,
         )
         result = out.result if trace else out
         if guard:
@@ -702,6 +778,8 @@ def icp(
         model_tile=cfg.model_tile,
         trim_fraction=cfg.trim_fraction,
         init_sim=init,
+        scene_n=scene_n,
+        model_n=model_n,
     )
     threshold = jnp.asarray(cfg.threshold, cfg.dtype)
     if trace:

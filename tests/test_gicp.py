@@ -99,7 +99,7 @@ def test_gicp_sharded_trace_matches_single(rng):
 def test_gicp_trimmed_rejects_outliers(rng):
     from tests.test_trimmed import _make_outlier_problem
 
-    world, scene_bad, R, t = _make_outlier_problem(rng)
+    world, scene_bad, R, t = _make_outlier_problem(np.random.default_rng(11))
     cfg = ICPConfig(max_iter=60, dtype=jnp.float64, nn_method="bcast",
                     with_scale=False, validate_inputs=False,
                     trim_fraction=0.3, threshold=1e-14)

@@ -122,7 +122,7 @@ def test_icp_grid_converges_like_dense(cow_pair):
 def test_icp_grid_trace_and_trim(rng):
     from tests.test_trimmed import _make_outlier_problem
 
-    world, scene_bad, R, t = _make_outlier_problem(rng)
+    world, scene_bad, R, t = _make_outlier_problem(np.random.default_rng(11))
     cfg = ICPConfig(max_iter=60, nn_method="grid", solver="eigh",
                     dtype=jnp.float64, with_scale=False,
                     validate_inputs=False, trim_fraction=0.3)

@@ -1,0 +1,183 @@
+"""Static-shape bucketing (``ops/padding.py``): bucket-padded + masked runs
+must match exact-shape runs, across every engine and NN path, while reusing
+ONE compiled program per bucket.
+
+Why this exists: a scan chain over varying cloud sizes (the bunny views,
+31,701-40,256 points) otherwise compiles a fresh program per pair per
+multiscale level — on the remote-compile TPU backend the compiles dominated
+the SLAM wall time (docs/PERF.md round 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icp_tpu import ICPConfig, icp
+from icp_tpu.ops.padding import (
+    SENTINEL,
+    bucket_size,
+    pad_to_bucket,
+    replica_fill,
+    valid_mask,
+)
+
+
+def _rng(seed=7):
+    # Local generator: the session-scoped ``rng`` fixture is a SHARED stream
+    # (consuming draws here would shift every later test's data).
+    return np.random.default_rng(seed)
+
+
+def _cloud(rng, n):
+    return rng.standard_normal((n, 3)).astype(np.float32)
+
+
+def _pair(rng, n_model=203, n_scene=157, angle=0.3):
+    """Unequal-count model/scene pair related by a modest rigid motion."""
+    model = _cloud(rng, n_model)
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t = np.array([0.05, -0.02, 0.03], np.float32)
+    scene = (model[:n_scene] @ R.T + t).astype(np.float32)
+    return model, scene
+
+
+def _sim_params(res):
+    return (
+        float(res.transform.s),
+        np.asarray(res.transform.R, np.float64),
+        np.asarray(res.transform.t, np.float64),
+    )
+
+
+def _assert_same_result(res_pad, res_exact, n_scene, atol=5e-5):
+    s_p, R_p, t_p = _sim_params(res_pad)
+    s_e, R_e, t_e = _sim_params(res_exact)
+    assert int(res_pad.iters) == int(res_exact.iters)
+    np.testing.assert_allclose(s_p, s_e, atol=atol)
+    np.testing.assert_allclose(R_p, R_e, atol=atol)
+    np.testing.assert_allclose(t_p, t_e, atol=atol)
+    np.testing.assert_allclose(
+        float(res_pad.err), float(res_exact.err), rtol=1e-3, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_pad.points)[:n_scene], np.asarray(res_exact.points),
+        atol=atol,
+    )
+
+
+def test_bucket_size():
+    assert bucket_size(1) == 4096
+    assert bucket_size(4096) == 4096
+    assert bucket_size(4097) == 8192
+    assert bucket_size(100, quantum=64) == 128
+    with pytest.raises(ValueError):
+        bucket_size(0)
+
+
+def test_pad_to_bucket_sentinels():
+    rng = _rng()
+    c = _cloud(rng, 100)
+    padded, n = pad_to_bucket(c, quantum=64)
+    assert padded.shape == (128, 3) and n == 100
+    np.testing.assert_array_equal(padded[:100], c)
+    assert np.all(padded[100:] == SENTINEL)
+    same, n2 = pad_to_bucket(c, quantum=64, n_pad=100)
+    assert same.shape == (100, 3) and n2 == 100
+    with pytest.raises(ValueError):
+        pad_to_bucket(c, n_pad=50)
+
+
+def test_replica_fill_and_mask():
+    rng = _rng()
+    c = jnp.asarray(_cloud(rng, 8))
+    filled = replica_fill(c, 5)
+    np.testing.assert_array_equal(np.asarray(filled[:5]), np.asarray(c[:5]))
+    for r in range(5, 8):
+        np.testing.assert_array_equal(np.asarray(filled[r]), np.asarray(c[4]))
+    m = valid_mask(8, 5, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(m), [1, 1, 1, 1, 1, 0, 0, 0])
+
+
+@pytest.mark.parametrize("nn_method", ["bcast", "pallas"])
+@pytest.mark.parametrize("trim", [0.0, 0.2])
+def test_dense_bucketed_matches_exact(nn_method, trim):
+    rng = _rng()
+    model, scene = _pair(rng)
+    cfg = ICPConfig(max_iter=40, dtype=jnp.float32, solver="eigh",
+                    nn_method=nn_method, validate_inputs=False,
+                    with_scale=False, trim_fraction=trim)
+    exact = icp(model, scene, cfg)
+    m_pad, m_n = pad_to_bucket(model, quantum=128)
+    s_pad, s_n = pad_to_bucket(scene, quantum=128)
+    padded = icp(m_pad, s_pad, cfg, scene_n=s_n, model_n=m_n)
+    _assert_same_result(padded, exact, s_n)
+
+
+def test_grid_bucketed_matches_exact():
+    rng = _rng()
+    model, scene = _pair(rng, n_model=700, n_scene=530)
+    cfg = ICPConfig(max_iter=40, dtype=jnp.float32, solver="eigh",
+                    nn_method="grid", validate_inputs=False,
+                    with_scale=False, grid_scene_tile=64,
+                    grid_model_tile=128)
+    exact = icp(model, scene, cfg)
+    m_pad, m_n = pad_to_bucket(model, quantum=256)
+    s_pad, s_n = pad_to_bucket(scene, quantum=256)
+    padded = icp(m_pad, s_pad, cfg, scene_n=s_n, model_n=m_n)
+    _assert_same_result(padded, exact, s_n)
+
+
+def test_one_program_serves_the_bucket():
+    """Different valid counts in the same bucket must NOT recompile — the
+    entire point of bucketing (compiles are minutes on tunneled backends)."""
+    rng = _rng()
+    from icp_tpu.engine.icp import _icp_while
+
+    cfg = ICPConfig(max_iter=30, dtype=jnp.float32, solver="eigh",
+                    nn_method="bcast", validate_inputs=False,
+                    with_scale=False)
+    before = _icp_while._cache_size()
+    for n_scene in (157, 101, 128):
+        model, scene = _pair(rng, n_model=203, n_scene=n_scene)
+        m_pad, m_n = pad_to_bucket(model, quantum=256)
+        s_pad, s_n = pad_to_bucket(scene, quantum=256)
+        res = icp(m_pad, s_pad, cfg, scene_n=s_n, model_n=m_n)
+        assert float(res.err) < 1e-5
+    assert _icp_while._cache_size() == before + 1
+
+
+def test_trace_and_guard_paths_bucketed():
+    rng = _rng()
+    model, scene = _pair(rng)
+    cfg = ICPConfig(max_iter=40, dtype=jnp.float32, solver="eigh",
+                    nn_method="bcast", validate_inputs=False,
+                    with_scale=False)
+    m_pad, m_n = pad_to_bucket(model, quantum=128)
+    s_pad, s_n = pad_to_bucket(scene, quantum=128)
+    exact = icp(model, scene, cfg, trace=True)
+    padded = icp(m_pad, s_pad, cfg, scene_n=s_n, model_n=m_n, trace=True)
+    ne, np_ = int(exact.result.iters), int(padded.result.iters)
+    assert ne == np_
+    np.testing.assert_allclose(
+        np.asarray(padded.errs)[:np_], np.asarray(exact.errs)[:ne],
+        rtol=1e-3, atol=1e-8,
+    )
+    guarded = icp(m_pad, s_pad, cfg, scene_n=s_n, model_n=m_n, guard="device")
+    assert int(guarded.iters) == ne
+
+
+def test_normals_exact_on_sentinel_padding():
+    """kNN-PCA normals over a sentinel-padded cloud must equal the unpadded
+    normals for every real row (sentinels are never among the k nearest)."""
+    rng = _rng()
+    from icp_tpu.ops.normals import estimate_normals
+
+    c = _cloud(rng, 300)
+    want = np.asarray(estimate_normals(jnp.asarray(c), k=8))
+    padded, n = pad_to_bucket(c, quantum=256)
+    got = np.asarray(estimate_normals(jnp.asarray(padded), k=8))[:n]
+    # normal sign is arbitrary: compare |dot| ~ 1
+    dots = np.abs(np.sum(want * got, axis=1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+    assert np.all(np.isfinite(np.asarray(
+        estimate_normals(jnp.asarray(padded), k=8))))

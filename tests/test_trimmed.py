@@ -23,7 +23,7 @@ def _make_outlier_problem(rng, n=400, n_out=80):
 
 
 def test_trimmed_rejects_outliers(rng):
-    world, scene, R, t = _make_outlier_problem(rng)
+    world, scene, R, t = _make_outlier_problem(np.random.default_rng(11))
     base = dict(max_iter=60, dtype=jnp.float64, solver="eigh",
                 nn_method="bcast", with_scale=False, validate_inputs=False)
     vanilla = icp(world, scene, ICPConfig(**base))
@@ -51,7 +51,7 @@ def test_trim_zero_is_bitwise_reference_path(cow_pair):
 
 def test_trimmed_fused_path_interpret(cow_pair, rng):
     """Trimming works through the fused pallas/qcp_fused path too."""
-    world, scene, R, t = _make_outlier_problem(rng, n=256, n_out=40)
+    world, scene, R, t = _make_outlier_problem(np.random.default_rng(11), n=256, n_out=40)
     cfg = ICPConfig(max_iter=60, dtype=jnp.float32, solver="qcp_fused",
                     nn_method="pallas", with_scale=False,
                     validate_inputs=False, trim_fraction=0.3)
@@ -68,7 +68,7 @@ def test_trimmed_sharded_matches_single(rng):
     from icp_tpu.parallel.mesh import make_mesh
     from icp_tpu.parallel.sharded import icp_sharded
 
-    world, scene, R, t = _make_outlier_problem(rng)
+    world, scene, R, t = _make_outlier_problem(np.random.default_rng(11))
     base = dict(max_iter=60, dtype=jnp.float64, solver="eigh",
                 nn_method="bcast", with_scale=False, validate_inputs=False,
                 trim_fraction=0.3)
@@ -92,7 +92,7 @@ def test_trimmed_sharded_2d_matches_single(rng):
 
     from icp_tpu.parallel.sharded import icp_sharded_2d, make_mesh_2d
 
-    world, scene, R, t = _make_outlier_problem(rng)
+    world, scene, R, t = _make_outlier_problem(np.random.default_rng(11))
     base = dict(max_iter=60, dtype=jnp.float64, solver="eigh",
                 nn_method="bcast", with_scale=False, validate_inputs=False,
                 trim_fraction=0.3)
@@ -147,7 +147,7 @@ def test_trimmed_single_trace_equals_sharded_trace(rng):
     from icp_tpu.parallel.mesh import make_mesh
     from icp_tpu.parallel.sharded import icp_sharded
 
-    world, scene, R, t = _make_outlier_problem(rng)
+    world, scene, R, t = _make_outlier_problem(np.random.default_rng(11))
     base = dict(max_iter=60, dtype=jnp.float64, solver="eigh",
                 nn_method="bcast", with_scale=False, validate_inputs=False,
                 trim_fraction=0.3)
