@@ -108,7 +108,7 @@ def _gicp_system(p, y, Cy, cov_p, *, weights=None, damping=1e-9, axis=None):
 
 
 def _gicp_step(p, cov_p, model, cov_m, *, nn_method, scene_tile, model_tile,
-               trim_fraction=0.0, damping=1e-9):
+               trim_fraction=0.0, damping=1e-9, scene_mask=None):
     """One GICP Gauss-Newton iteration.  ``cov_p`` must already be expressed
     in the CURRENT scene frame (rotated alongside p by the caller)."""
     idx = closest_point_indices(
@@ -116,14 +116,10 @@ def _gicp_step(p, cov_p, model, cov_m, *, nn_method, scene_tile, model_tile,
     )
     y = jnp.take(model, idx, axis=0)
     Cy = jnp.take(cov_m, idx, axis=0)
-    if trim_fraction > 0.0:
-        from icp_tpu.ops.quantile import histogram_quantile
+    # trim by euclidean distance; bucket-padding mask folded in
+    from icp_tpu.engine.icp import _step_weights
 
-        d2 = jnp.sum((y - p) ** 2, axis=1)
-        tau = histogram_quantile(d2, 1.0 - trim_fraction)
-        w = (d2 <= tau).astype(p.dtype)
-    else:
-        w = None
+    w = _step_weights(p, y, trim_fraction, scene_mask)
     sim, p_new, err = _gicp_system(p, y, Cy, cov_p, weights=w, damping=damping)
     return p_new, sim, err
 
@@ -147,8 +143,13 @@ def _gicp_while(
     trim_fraction: float = 0.0,
     trace: bool = False,
     init_sim=None,
+    scene_n=None,
+    model_n=None,
 ):
+    from icp_tpu.engine.icp import _bucket_prologue
+
     dt = scene.dtype
+    model, scene, scene_mask = _bucket_prologue(model, scene, scene_n, model_n)
     if init_sim is not None:
         scene = apply_similarity(scene, init_sim)
         # rotate the scene covariances into the warm-start frame
@@ -166,7 +167,7 @@ def _gicp_while(
         p_new, sim, err = _gicp_step(
             p, cov_p, model, cov_m, nn_method=nn_method,
             scene_tile=scene_tile, model_tile=model_tile,
-            trim_fraction=trim_fraction,
+            trim_fraction=trim_fraction, scene_mask=scene_mask,
         )
         # rotate the scene covariances with the step: C <- R C R^T
         cov_p = jnp.einsum(
@@ -212,6 +213,8 @@ def _gicp_grid(
     eps: float = 1e-3,
     trace: bool = False,
     init_sim=None,
+    scene_n=None,  # dynamic bucket-padding valid counts (ops/padding.py)
+    model_n=None,
 ):
     """Grid-pruned GICP loop (``nn_method="grid"``).
 
@@ -235,6 +238,9 @@ def _gicp_grid(
     dt = scene.dtype
     interp = jax.default_backend() != "tpu"
     n = scene.shape[0]
+    from icp_tpu.engine.icp import _bucket_prologue
+
+    model, scene, _ = _bucket_prologue(model, scene, scene_n, model_n)
     if init_sim is not None:
         scene = apply_similarity(scene, init_sim)
         cov_s = jnp.einsum(
@@ -244,7 +250,8 @@ def _gicp_grid(
 
     grid = build_model_grid(model, target_tile=model_tile_target,
                             payload=model_normals)
-    p0, w, inv_slots, tn, perm = _prepare_scene(scene, scene_tile_target)
+    p0, w, inv_slots, tn, perm = _prepare_scene(scene, scene_tile_target,
+                                                n_valid=scene_n)
     n_pad = p0.shape[0]
     # scene covariances ride the kd permutation; pad rows get identity
     # (inert: weight 0 everywhere they appear)
@@ -314,11 +321,19 @@ def icp_generalized(
     eps: float = 1e-3,
     init=None,
     trace: bool = False,
+    scene_n=None,
+    model_n=None,
 ):
     """Generalized (plane-to-plane) ICP.  Normals for BOTH clouds are
     estimated via kNN-PCA if not given; ``eps`` is the across-surface
     covariance (0 -> pure plane metric, 1 -> point-to-point).  ``init``:
-    optional warm-start ``Similarity``."""
+    optional warm-start ``Similarity``.
+
+    ``scene_n`` / ``model_n``: dynamic valid-row counts for bucket-padded
+    clouds (``ops/padding.py``) — pad rows must be FAR sentinels
+    (``pad_to_bucket``) so the internal normal estimation stays exact for
+    real rows; the engine replica-fills them before the hot loop and masks
+    them out of every statistic.  One compiled program per bucket."""
     from icp_tpu.engine.icp import _cast_sim
     from icp_tpu.ops.normals import estimate_normals
 
@@ -326,12 +341,18 @@ def icp_generalized(
     model = jnp.asarray(model, cfg.dtype)
     scene = jnp.asarray(scene, cfg.dtype)
     _validate(model, scene, cfg)
+    # normals estimated on the clouds AS GIVEN (sentinel pad rows never
+    # enter a real row's kNN) — before the engines' in-loop replica fill
     if model_normals is None:
         model_normals = estimate_normals(model, k=normal_k)
     if scene_normals is None:
         scene_normals = estimate_normals(scene, k=normal_k)
     cov_s = disk_covariances(jnp.asarray(scene_normals, cfg.dtype), eps)
     backend = jax.default_backend()
+    if scene_n is not None:
+        scene_n = jnp.asarray(scene_n, jnp.int32)
+    if model_n is not None:
+        model_n = jnp.asarray(model_n, jnp.int32)
     if cfg.resolved_nn_method(backend) == "grid":
         return _gicp_grid(
             model,
@@ -347,6 +368,8 @@ def icp_generalized(
             eps=eps,
             trace=trace,
             init_sim=None if init is None else _cast_sim(init, cfg.dtype),
+            scene_n=scene_n,
+            model_n=model_n,
         )
     cov_m = disk_covariances(jnp.asarray(model_normals, cfg.dtype), eps)
     return _gicp_while(
@@ -362,6 +385,8 @@ def icp_generalized(
         trim_fraction=cfg.trim_fraction,
         trace=trace,
         init_sim=None if init is None else _cast_sim(init, cfg.dtype),
+        scene_n=scene_n,
+        model_n=model_n,
     )
 
 

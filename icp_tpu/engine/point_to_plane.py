@@ -55,7 +55,7 @@ def _rodrigues(omega: jax.Array) -> jax.Array:
 
 
 def _p2pl_step(p, model, normals, *, nn_method, scene_tile, model_tile,
-               trim_fraction=0.0, damping=1e-9):
+               trim_fraction=0.0, damping=1e-9, scene_mask=None):
     idx = closest_point_indices(
         p, model, method=nn_method, scene_tile=scene_tile, model_tile=model_tile
     )
@@ -64,20 +64,18 @@ def _p2pl_step(p, model, normals, *, nn_method, scene_tile, model_tile,
 
     r = jnp.sum(n * (p - y), axis=1)  # (N,) signed plane distances
     J = jnp.concatenate([jnp.cross(p, n), n], axis=1)  # (N, 6)
-    if trim_fraction > 0.0:
-        from icp_tpu.ops.quantile import histogram_quantile
+    # trim by EUCLIDEAN correspondence distance (same robustness notion as
+    # the point-to-point/GICP engines — the plane residual can be tiny for a
+    # gross outlier sliding along a surface); bucket-padding mask folded in
+    # (ops/padding.py)
+    from icp_tpu.engine.icp import _step_weights
 
-        # trim by EUCLIDEAN correspondence distance (same robustness notion
-        # as the point-to-point/GICP engines — the plane residual can be
-        # tiny for a gross outlier sliding along a surface)
-        d2 = jnp.sum((y - p) ** 2, axis=1)
-        tau = histogram_quantile(d2, 1.0 - trim_fraction)
-        w = (d2 <= tau).astype(p.dtype)
+    w = _step_weights(p, y, trim_fraction, scene_mask)
+    if w is not None:
         r = r * w
         J = J * w[:, None]
         n_eff = jnp.sum(w)
     else:
-        w = None
         n_eff = jnp.asarray(p.shape[0], p.dtype)
     A = jnp.einsum("ni,nj->ij", J, J, precision=jax.lax.Precision.HIGHEST)
     b = jnp.einsum("ni,n->i", J, r, precision=jax.lax.Precision.HIGHEST)
@@ -112,6 +110,8 @@ def _icp_p2pl_grid(
     trim_fraction: float = 0.0,
     trace: bool = False,
     init_sim=None,
+    scene_n=None,  # dynamic bucket-padding valid counts (ops/padding.py)
+    model_n=None,
 ):
     """Grid-pruned point-to-plane loop (``nn_method="grid"``).
 
@@ -123,6 +123,7 @@ def _icp_p2pl_grid(
     bound the NN distance).
     """
     from icp_tpu.engine.grid import _prepare_scene
+    from icp_tpu.engine.icp import _bucket_prologue
     from icp_tpu.kernels.nn_grid import (
         bound_from_indices,
         build_model_grid,
@@ -133,12 +134,14 @@ def _icp_p2pl_grid(
 
     dt = scene.dtype
     interp = jax.default_backend() != "tpu"
+    model, scene, _ = _bucket_prologue(model, scene, scene_n, model_n)
     if init_sim is not None:
         scene = apply_similarity(scene, init_sim)
 
     grid = build_model_grid(model, target_tile=model_tile_target,
                             payload=normals)
-    p0, w, inv_slots, tn, _ = _prepare_scene(scene, scene_tile_target)
+    p0, w, inv_slots, tn, _ = _prepare_scene(scene, scene_tile_target,
+                                             n_valid=scene_n)
     stride = max(1, min(16, model.shape[0] // 4))
     idx0 = initial_bound_indices(p0, grid.model_orig, stride=stride,
                                  interpret=interp)
@@ -214,8 +217,13 @@ def _icp_p2pl_while(
     trim_fraction: float = 0.0,
     trace: bool = False,
     init_sim=None,
+    scene_n=None,
+    model_n=None,
 ):
+    from icp_tpu.engine.icp import _bucket_prologue
+
     dt = scene.dtype
+    model, scene, scene_mask = _bucket_prologue(model, scene, scene_n, model_n)
     if init_sim is not None:
         scene = apply_similarity(scene, init_sim)
 
@@ -228,7 +236,7 @@ def _icp_p2pl_while(
         p_new, sim, err = _p2pl_step(
             p, model, normals, nn_method=nn_method,
             scene_tile=scene_tile, model_tile=model_tile,
-            trim_fraction=trim_fraction,
+            trim_fraction=trim_fraction, scene_mask=scene_mask,
         )
         if trace:
             errs = jax.lax.dynamic_update_index_in_dim(
@@ -396,6 +404,8 @@ def icp_point_to_plane(
     normal_k: int = 16,
     init=None,
     trace: bool = False,
+    scene_n=None,
+    model_n=None,
 ):
     """Register ``scene`` onto ``model`` minimizing point-to-plane distance.
 
@@ -403,6 +413,12 @@ def icp_point_to_plane(
     kNN-PCA (``ops/normals.py``) if omitted.  Convergence threshold applies
     to the mean squared plane distance.  ``init``: optional warm-start
     ``Similarity`` (the returned transform still maps the caller's scene).
+
+    ``scene_n`` / ``model_n``: dynamic valid-row counts for bucket-padded
+    clouds (``ops/padding.py``) — pad rows must be FAR sentinels
+    (``pad_to_bucket``) so the internal normal estimation stays exact for
+    real rows; the engine replica-fills them before the hot loop and masks
+    them out of every statistic.  One compiled program per bucket.
     """
     from icp_tpu.engine.icp import _cast_sim
     from icp_tpu.ops.normals import estimate_normals
@@ -412,10 +428,17 @@ def icp_point_to_plane(
     scene = jnp.asarray(scene, cfg.dtype)
     _validate(model, scene, cfg)
     if normals is None:
+        # estimated on the cloud AS GIVEN (sentinel pad rows are never among
+        # the k nearest of a real row) — BEFORE the in-loop replica fill,
+        # which would flood kNN neighborhoods near the last real point
         normals = estimate_normals(model, k=normal_k)
     else:
         normals = jnp.asarray(normals, cfg.dtype)
     backend = jax.default_backend()
+    if scene_n is not None:
+        scene_n = jnp.asarray(scene_n, jnp.int32)
+    if model_n is not None:
+        model_n = jnp.asarray(model_n, jnp.int32)
     if cfg.resolved_nn_method(backend) == "grid":
         return _icp_p2pl_grid(
             model,
@@ -429,6 +452,8 @@ def icp_point_to_plane(
             trim_fraction=cfg.trim_fraction,
             trace=trace,
             init_sim=None if init is None else _cast_sim(init, cfg.dtype),
+            scene_n=scene_n,
+            model_n=model_n,
         )
     return _icp_p2pl_while(
         model,
@@ -442,4 +467,6 @@ def icp_point_to_plane(
         trim_fraction=cfg.trim_fraction,
         trace=trace,
         init_sim=None if init is None else _cast_sim(init, cfg.dtype),
+        scene_n=scene_n,
+        model_n=model_n,
     )

@@ -44,7 +44,7 @@ from icp_tpu.ops.transform import apply_similarity, compose, identity_similarity
 
 
 def _sym_step(p, p_normals, model, model_normals, *, nn_method, scene_tile,
-              model_tile, trim_fraction=0.0, damping=1e-9):
+              model_tile, trim_fraction=0.0, damping=1e-9, scene_mask=None):
     """One symmetric GN step -> (p_new, n_new, sim, err)."""
     idx = closest_point_indices(
         p, model, method=nn_method, scene_tile=scene_tile, model_tile=model_tile
@@ -61,20 +61,17 @@ def _sym_step(p, p_normals, model, model_normals, *, nn_method, scene_tile,
     r = jnp.sum(n * (p - y), axis=1)  # (N,) symmetric plane residuals
     # linearization: r(a, t) ~ r + a.((p + y) x n) + t.n
     J = jnp.concatenate([jnp.cross(p + y, n), n], axis=1)  # (N, 6)
-    if trim_fraction > 0.0:
-        from icp_tpu.ops.quantile import histogram_quantile
+    # trim by euclidean correspondence distance (same robustness notion as
+    # every other engine — the plane residual can be tiny for a gross
+    # outlier sliding along a surface); bucket-padding mask folded in
+    from icp_tpu.engine.icp import _step_weights
 
-        # trim by euclidean correspondence distance (same robustness notion
-        # as every other engine — the plane residual can be tiny for a gross
-        # outlier sliding along a surface)
-        d2 = jnp.sum((y - p) ** 2, axis=1)
-        tau = histogram_quantile(d2, 1.0 - trim_fraction)
-        w = (d2 <= tau).astype(p.dtype)
+    w = _step_weights(p, y, trim_fraction, scene_mask)
+    if w is not None:
         r = r * w
         J = J * w[:, None]
         n_eff = jnp.sum(w)
     else:
-        w = None
         n_eff = jnp.asarray(p.shape[0], p.dtype)
     A = jnp.einsum("ni,nj->ij", J, J, precision=jax.lax.Precision.HIGHEST)
     b = jnp.einsum("ni,n->i", J, r, precision=jax.lax.Precision.HIGHEST)
@@ -116,8 +113,13 @@ def _icp_sym_while(
     trim_fraction: float = 0.0,
     trace: bool = False,
     init_sim=None,
+    scene_n=None,
+    model_n=None,
 ):
+    from icp_tpu.engine.icp import _bucket_prologue
+
     dt = scene.dtype
+    model, scene, scene_mask = _bucket_prologue(model, scene, scene_n, model_n)
     if init_sim is not None:
         scene = apply_similarity(scene, init_sim)
         scene_normals = scene_normals @ init_sim.R.T
@@ -131,7 +133,7 @@ def _icp_sym_while(
         p_new, n_new, sim, err = _sym_step(
             p, nrm, model, model_normals, nn_method=nn_method,
             scene_tile=scene_tile, model_tile=model_tile,
-            trim_fraction=trim_fraction,
+            trim_fraction=trim_fraction, scene_mask=scene_mask,
         )
         if trace:
             errs = jax.lax.dynamic_update_index_in_dim(
@@ -171,6 +173,8 @@ def _icp_sym_grid(
     trim_fraction: float = 0.0,
     trace: bool = False,
     init_sim=None,
+    scene_n=None,  # dynamic bucket-padding valid counts (ops/padding.py)
+    model_n=None,
 ):
     """Grid-pruned symmetric loop (``nn_method="grid"`` — VERDICT r3 #2).
 
@@ -197,13 +201,17 @@ def _icp_sym_grid(
 
     dt = scene.dtype
     interp = jax.default_backend() != "tpu"
+    from icp_tpu.engine.icp import _bucket_prologue
+
+    model, scene, _ = _bucket_prologue(model, scene, scene_n, model_n)
     if init_sim is not None:
         scene = apply_similarity(scene, init_sim)
         scene_normals = scene_normals @ init_sim.R.T
 
     grid = build_model_grid(model, target_tile=model_tile_target,
                             payload=model_normals)
-    p0, w, inv_slots, tn, perm = _prepare_scene(scene, scene_tile_target)
+    p0, w, inv_slots, tn, perm = _prepare_scene(scene, scene_tile_target,
+                                                n_valid=scene_n)
     n_pad = p0.shape[0] - scene.shape[0]
     sn_pad = jnp.concatenate(
         [scene_normals,
@@ -440,6 +448,8 @@ def icp_symmetric(
     normal_k: int = 16,
     init=None,
     trace: bool = False,
+    scene_n=None,
+    model_n=None,
 ):
     """Register ``scene`` onto ``model`` with the symmetric plane objective.
 
@@ -456,6 +466,12 @@ def icp_symmetric(
     ``closest_point_indices`` like every other engine), and the kd-tile
     ``grid`` path (``_icp_sym_grid`` — model normals ride the tile payload
     sublanes, scene normals are kd-permuted side data).
+
+    ``scene_n`` / ``model_n``: dynamic valid-row counts for bucket-padded
+    clouds (``ops/padding.py``) — pad rows must be FAR sentinels
+    (``pad_to_bucket``) so the internal normal estimation stays exact for
+    real rows; the engine replica-fills them before the hot loop and masks
+    them out of every statistic.  One compiled program per bucket.
     """
     from icp_tpu.engine.icp import _cast_sim
     from icp_tpu.ops.normals import estimate_normals
@@ -464,6 +480,8 @@ def icp_symmetric(
     model = jnp.asarray(model, cfg.dtype)
     scene = jnp.asarray(scene, cfg.dtype)
     _validate(model, scene, cfg)
+    # normals estimated on the clouds AS GIVEN (sentinel pad rows never
+    # enter a real row's kNN) — before the engines' in-loop replica fill
     if normals is None:
         normals = estimate_normals(model, k=normal_k)
     else:
@@ -474,6 +492,10 @@ def icp_symmetric(
         scene_normals = jnp.asarray(scene_normals, cfg.dtype)
     backend = jax.default_backend()
     nn_method = cfg.resolved_nn_method(backend)
+    if scene_n is not None:
+        scene_n = jnp.asarray(scene_n, jnp.int32)
+    if model_n is not None:
+        model_n = jnp.asarray(model_n, jnp.int32)
     if nn_method == "grid":
         return _icp_sym_grid(
             model,
@@ -488,6 +510,8 @@ def icp_symmetric(
             trim_fraction=cfg.trim_fraction,
             trace=trace,
             init_sim=_cast_sim(init, cfg.dtype) if init is not None else None,
+            scene_n=scene_n,
+            model_n=model_n,
         )
     return _icp_sym_while(
         model,
@@ -502,4 +526,6 @@ def icp_symmetric(
         trim_fraction=cfg.trim_fraction,
         trace=trace,
         init_sim=_cast_sim(init, cfg.dtype) if init is not None else None,
+        scene_n=scene_n,
+        model_n=model_n,
     )

@@ -181,3 +181,60 @@ def test_normals_exact_on_sentinel_padding():
     np.testing.assert_allclose(dots, 1.0, atol=1e-5)
     assert np.all(np.isfinite(np.asarray(
         estimate_normals(jnp.asarray(padded), k=8))))
+
+
+def _plane_pair(n_model=420, n_scene=333, angle=0.12, seed=5):
+    """Smooth-surface pair (normals well-defined) with unequal counts."""
+    rng = np.random.default_rng(seed)
+    g = rng.uniform(-1.0, 1.0, size=(n_model, 2)).astype(np.float32)
+    z = (0.3 * np.sin(2.0 * g[:, 0]) + 0.2 * np.cos(3.0 * g[:, 1])).astype(
+        np.float32)
+    model = np.column_stack([g[:, 0], g[:, 1], z]).astype(np.float32)
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t = np.array([0.03, -0.01, 0.02], np.float32)
+    scene = (model[:n_scene] @ R.T + t).astype(np.float32)
+    return model, scene
+
+
+@pytest.mark.parametrize("engine", ["point_to_plane", "gicp", "symmetric"])
+@pytest.mark.parametrize("nn_method", ["bcast", "grid"])
+def test_plane_engines_bucketed_match_exact(engine, nn_method):
+    """p2pl / GICP / symmetric: bucketed+masked == exact shapes, dense AND
+    kd-grid NN paths.  Normals are estimated internally on the sentinel-
+    padded clouds (exact for real rows), then the engines replica-fill."""
+    from icp_tpu.engine.gicp import icp_generalized
+    from icp_tpu.engine.point_to_plane import icp_point_to_plane
+    from icp_tpu.engine.symmetric import icp_symmetric
+
+    fn = {"point_to_plane": icp_point_to_plane, "gicp": icp_generalized,
+          "symmetric": icp_symmetric}[engine]
+    model, scene = _plane_pair()
+    cfg = ICPConfig(max_iter=25, dtype=jnp.float32, nn_method=nn_method,
+                    validate_inputs=False, with_scale=False,
+                    threshold=1e-10, grid_scene_tile=64, grid_model_tile=128)
+    exact = fn(model, scene, cfg)
+    m_pad, m_n = pad_to_bucket(model, quantum=256)
+    s_pad, s_n = pad_to_bucket(scene, quantum=256)
+    padded = fn(m_pad, s_pad, cfg, scene_n=s_n, model_n=m_n)
+    _assert_same_result(padded, exact, s_n, atol=2e-4)
+
+
+@pytest.mark.parametrize("engine", ["point_to_plane", "symmetric"])
+def test_plane_engines_bucketed_trimmed(engine):
+    """Bucketed + trimmed together: the masked quantile must exclude pad
+    rows (identical trim decisions as the exact-shape run)."""
+    from icp_tpu.engine.point_to_plane import icp_point_to_plane
+    from icp_tpu.engine.symmetric import icp_symmetric
+
+    fn = {"point_to_plane": icp_point_to_plane,
+          "symmetric": icp_symmetric}[engine]
+    model, scene = _plane_pair()
+    cfg = ICPConfig(max_iter=25, dtype=jnp.float32, nn_method="bcast",
+                    validate_inputs=False, with_scale=False,
+                    threshold=1e-10, trim_fraction=0.25)
+    exact = fn(model, scene, cfg)
+    m_pad, m_n = pad_to_bucket(model, quantum=256)
+    s_pad, s_n = pad_to_bucket(scene, quantum=256)
+    padded = fn(m_pad, s_pad, cfg, scene_n=s_n, model_n=m_n)
+    _assert_same_result(padded, exact, s_n, atol=2e-4)
