@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trim", type=float, default=0.0, metavar="FRAC",
                    help="trimmed registration: reject this fraction of "
                         "worst matches per iteration")
+    p.add_argument("--bucket", type=int, default=0, metavar="QUANTUM",
+                   help="static-shape bucketing: pad each pair's clouds to "
+                        "the next QUANTUM multiple (true counts masked) so "
+                        "similar-size pairs share ONE compiled program — "
+                        "compiles dominate chain wall time on remote-compile "
+                        "backends (try 4096)")
     p.add_argument("--refine", action="store_true",
                    help="bundle-adjust poses after the chain")
     p.add_argument("--detect-closures", action="store_true",
@@ -98,7 +104,7 @@ def main(argv=None) -> int:
     )
     pairs = register_chain(
         reg_clouds, cfg, multiscale=tuple(args.multiscale), init=args.init,
-        engine=args.engine,
+        engine=args.engine, bucket_quantum=args.bucket or None,
     )
     for k, pr in enumerate(pairs):
         print(
@@ -127,6 +133,7 @@ def main(argv=None) -> int:
         closure_edges, closure_results = refine_closures(
             reg_clouds, cands, cfg, engine=args.engine,
             multiscale=tuple(args.multiscale),
+            bucket_quantum=args.bucket or None,
         )
         if closure_edges:
             # every edge (chain AND closure) carries its feature-verified

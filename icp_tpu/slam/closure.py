@@ -335,6 +335,8 @@ def refine_closures(
     multiscale: Sequence[int] = (1,),
     max_err: Optional[float] = None,
     weighted: bool = True,
+    bucket_quantum: Optional[int] = None,
+    pad_sizes=None,
 ):
     """ICP-refine detected closures; returns ``(edges, results)``.
 
@@ -355,7 +357,8 @@ def refine_closures(
     for cand in candidates:
         pr = register_pair(clouds[cand.i], clouds[cand.j], config,
                            multiscale=multiscale, init=cand.transform,
-                           engine=engine)
+                           engine=engine, bucket_quantum=bucket_quantum,
+                           pad_sizes=pad_sizes)
         if max_err is not None and float(pr.err) > max_err:
             continue
         w = 1.0

@@ -14,7 +14,12 @@ ICP-refines them, weights every edge by its feature-verified inlier
 fraction, and solves the robust (Geman-McClure) pose graph — the fully
 automatic path of ``icp-slam --detect-closures``.
 
-Usage: run_bunny_posegraph.py [subsample] [engine] [nn] [--auto]
+Usage: run_bunny_posegraph.py [subsample] [engine] [nn] [--auto] [--bucket[=Q]]
+
+``--bucket`` (optionally ``--bucket=4096``) enables static-shape bucketing
+(``ops/padding.py``): every pair whose padded sizes land in the same bucket
+reuses one compiled program — per-shape remote compiles dominated the
+full-res chain's wall time (docs/PERF.md round 4).
 """
 import json
 import os
@@ -53,7 +58,14 @@ def consistency(pose_i, pose_j, edge):
 
 def main():
     data = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
-    args = [a for a in sys.argv[1:] if a != "--auto"]
+    bucket = None
+    for a in sys.argv[1:]:
+        if a == "--bucket":
+            bucket = 4096
+        elif a.startswith("--bucket="):
+            bucket = int(a.split("=", 1)[1])
+    args = [a for a in sys.argv[1:]
+            if a != "--auto" and not a.startswith("--bucket")]
     auto = "--auto" in sys.argv[1:]
     sub = int(args[0]) if len(args) > 0 else 4
     engine = args[1] if len(args) > 1 else "point_to_point"
@@ -69,9 +81,17 @@ def main():
         validate_inputs=False,
         trim_fraction=0.3,
     )
+    pad_sizes = None
+    if bucket:
+        from icp_tpu.ops.padding import bucket_size
+
+        # chain-wide shared bucket per level: closure pairs reuse the very
+        # same compiled programs as the chain pairs
+        pad_sizes = [bucket_size(max(len(c[::k]) for c in clouds), bucket)
+                     for k in (8, 1)]
     t0 = time.time()
     pairs = register_chain(clouds, cfg, multiscale=(8, 1), init="pca",
-                           engine=engine)
+                           engine=engine, bucket_quantum=bucket)
     poses = chain_to_world_poses(pairs)
 
     extra = {}
@@ -86,7 +106,8 @@ def main():
 
         cands = detect_loop_closures(clouds)
         closure_edges, closure_results = refine_closures(
-            clouds, cands, cfg, engine=engine, multiscale=(8, 1))
+            clouds, cands, cfg, engine=engine, multiscale=(8, 1),
+            bucket_quantum=bucket, pad_sizes=pad_sizes)
         if not closure_edges:
             print(json.dumps(dict(error="no closures detected",
                                   candidates=len(cands))))
@@ -105,7 +126,8 @@ def main():
     else:
         # loop closure: bun315 (index 4) directly onto bun000 (index 0)
         closure = register_pair(clouds[4], clouds[0], cfg, multiscale=(8, 1),
-                                init="pca", engine=engine)
+                                init="pca", engine=engine,
+                                bucket_quantum=bucket, pad_sizes=pad_sizes)
         # closure.transform maps cloud0 -> cloud4 frame: edge (i=4, j=0)
         edges = [
             PoseEdge(k, k + 1, jnp.asarray(np.asarray(pairs[k].transform.R)),
@@ -136,6 +158,7 @@ def main():
         subsample=sub,
         engine=engine,
         nn_method=cfg.nn_method,
+        bucket=bucket,
         mode="auto" if auto else "manual",
         **extra,
     )))

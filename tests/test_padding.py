@@ -238,3 +238,27 @@ def test_plane_engines_bucketed_trimmed(engine):
     s_pad, s_n = pad_to_bucket(scene, quantum=256)
     padded = fn(m_pad, s_pad, cfg, scene_n=s_n, model_n=m_n)
     _assert_same_result(padded, exact, s_n, atol=2e-4)
+
+
+def test_register_chain_bucketed_matches(cow_pair):
+    """Chain registration with bucket_quantum must produce the same poses as
+    exact shapes (subsampled cow slices of deliberately unequal sizes)."""
+    from icp_tpu.slam.pairwise import register_chain
+
+    ref, tr1 = cow_pair
+    # three unequal-size "scans" derived from the same rigid pair
+    clouds = [np.ascontiguousarray(ref[::9]),
+              np.ascontiguousarray(tr1[::11]),
+              np.ascontiguousarray(tr1[::13])]
+    cfg = ICPConfig(max_iter=40, dtype=jnp.float32, solver="eigh",
+                    nn_method="bcast", validate_inputs=False,
+                    with_scale=False)
+    exact = register_chain(clouds, cfg)
+    bucketed = register_chain(clouds, cfg, bucket_quantum=512)
+    for a, b in zip(exact, bucketed):
+        assert a.iters == b.iters
+        np.testing.assert_allclose(np.asarray(a.transform.R),
+                                   np.asarray(b.transform.R), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(a.transform.t),
+                                   np.asarray(b.transform.t), atol=5e-5)
+        np.testing.assert_allclose(a.err, b.err, rtol=1e-3, atol=1e-9)
