@@ -14,6 +14,13 @@ import dataclasses
 
 import jax.numpy as jnp
 
+# Smallest cloud (max of model/scene rows) at which ``nn_method="auto"``
+# dispatches to the kd-grid engine on TPU.  Measured endpoints
+# (docs/PERF.md): parity at 2,903 (cow), 9.4x at 48,485 (horse); dense
+# cost grows as N*M while grid stays ~linear, so the crossover sits just
+# above cow size — 8,192 is the conservative round-number choice.
+GRID_AUTO_THRESHOLD = 8192
+
 
 @dataclasses.dataclass(frozen=True)
 class ICPConfig:
@@ -42,7 +49,9 @@ class ICPConfig:
         broadcast), ``"matmul"`` (||a||^2+||b||^2-2ab), ``"pallas"`` (tiled
         fused MXU kernel), ``"grid"`` (kd-tiled spatially-pruned kernel —
         exact, fastest for large clouds; ``kernels/nn_grid.py``), or
-        ``"auto"`` (pallas on TPU, bcast elsewhere).
+        ``"auto"`` (size-based dispatch on TPU: pallas below
+        ``GRID_AUTO_THRESHOLD`` points, grid at or above it — the measured
+        crossover, docs/PERF.md; bcast elsewhere).
       scene_tile / model_tile: Pallas NN kernel tile sizes (scene points x
         model points per grid step).  Replaces the reference's empirically
         found ``BATCH_SIZE=1280`` scene batching (``src/GPU/compute.cu:7-9``).
@@ -86,7 +95,25 @@ class ICPConfig:
             return self.solver
         return "qcp_fused" if backend == "tpu" else "eigh"
 
-    def resolved_nn_method(self, backend: str) -> str:
+    def resolved_nn_method(self, backend: str,
+                           n_points: int | None = None) -> str:
+        """Resolve ``"auto"`` to a concrete NN implementation.
+
+        ``n_points``: the dense problem scale — max(model rows, scene rows)
+        — when the caller knows it.  Size-based dispatch (the reference's
+        ``computeDim`` analog, ``src/GPU/compute.cu:66-90``, which picks
+        thread-block shapes by aspect ratio) built on the measured
+        crossovers in docs/PERF.md: the dense Pallas kernel is at the VPU
+        roofline and the kd-grid engine reaches overhead-parity at cow size
+        (43.7 vs 41.8 us/iter), then wins 9.4x at horse (48,485) and 9.2x
+        at 1M — so past ``GRID_AUTO_THRESHOLD`` the grid path is strictly
+        better on TPU.  CPU stays on ``bcast``: it is the oracle/test
+        backend, where Pallas kernels run in interpret mode.
+        """
         if self.nn_method != "auto":
             return self.nn_method
-        return "pallas" if backend == "tpu" else "bcast"
+        if backend == "tpu":
+            if n_points is not None and n_points >= GRID_AUTO_THRESHOLD:
+                return "grid"
+            return "pallas"
+        return "bcast"

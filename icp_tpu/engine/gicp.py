@@ -353,7 +353,8 @@ def icp_generalized(
         scene_n = jnp.asarray(scene_n, jnp.int32)
     if model_n is not None:
         model_n = jnp.asarray(model_n, jnp.int32)
-    if cfg.resolved_nn_method(backend) == "grid":
+    n_points = max(model.shape[0], scene.shape[0])
+    if cfg.resolved_nn_method(backend, n_points) == "grid":
         return _gicp_grid(
             model,
             jnp.asarray(model_normals, jnp.float32),
@@ -379,7 +380,7 @@ def icp_generalized(
         cov_s,
         jnp.asarray(cfg.threshold, cfg.dtype),
         max_iter=cfg.max_iter,
-        nn_method=cfg.resolved_nn_method(backend),
+        nn_method=cfg.resolved_nn_method(backend, n_points),
         scene_tile=cfg.scene_tile,
         model_tile=cfg.model_tile,
         trim_fraction=cfg.trim_fraction,
@@ -417,7 +418,7 @@ def icp_generalized_sharded(
     from icp_tpu.parallel.mesh import make_mesh
 
     if (config or ICPConfig()).resolved_nn_method(
-            jax.default_backend()) == "grid":
+            jax.default_backend(), max(len(model), len(scene))) == "grid":
         from icp_tpu.parallel.sharded_grid import gn_sharded_grid
 
         return gn_sharded_grid(

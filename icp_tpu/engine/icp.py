@@ -740,7 +740,8 @@ def icp(
         scene_n = jnp.asarray(scene_n, jnp.int32)
     if model_n is not None:
         model_n = jnp.asarray(model_n, jnp.int32)
-    if cfg.resolved_nn_method(backend) == "grid":
+    n_points = max(model.shape[0], scene.shape[0])
+    if cfg.resolved_nn_method(backend, n_points) == "grid":
         from icp_tpu.engine.grid import _icp_grid
 
         out = _icp_grid(
@@ -771,7 +772,7 @@ def icp(
     kwargs = dict(
         max_iter=cfg.max_iter,
         solver=cfg.resolved_solver(backend),
-        nn_method=cfg.resolved_nn_method(backend),
+        nn_method=cfg.resolved_nn_method(backend, n_points),
         with_scale=cfg.with_scale,
         reference_compat=cfg.reference_compat,
         scene_tile=cfg.scene_tile,

@@ -284,7 +284,8 @@ def icp_point_to_plane_sharded(
 
     cfg = config or ICPConfig()
     mesh = mesh or make_mesh()
-    if cfg.resolved_nn_method(jax.default_backend()) == "grid":
+    if cfg.resolved_nn_method(jax.default_backend(),
+                              max(len(model), len(scene))) == "grid":
         from icp_tpu.parallel.sharded_grid import gn_sharded_grid
 
         return gn_sharded_grid(
@@ -439,7 +440,8 @@ def icp_point_to_plane(
         scene_n = jnp.asarray(scene_n, jnp.int32)
     if model_n is not None:
         model_n = jnp.asarray(model_n, jnp.int32)
-    if cfg.resolved_nn_method(backend) == "grid":
+    n_points = max(model.shape[0], scene.shape[0])
+    if cfg.resolved_nn_method(backend, n_points) == "grid":
         return _icp_p2pl_grid(
             model,
             normals,
@@ -461,7 +463,7 @@ def icp_point_to_plane(
         scene,
         jnp.asarray(cfg.threshold, cfg.dtype),
         max_iter=cfg.max_iter,
-        nn_method=cfg.resolved_nn_method(backend),
+        nn_method=cfg.resolved_nn_method(backend, n_points),
         scene_tile=cfg.scene_tile,
         model_tile=cfg.model_tile,
         trim_fraction=cfg.trim_fraction,

@@ -308,7 +308,8 @@ def icp_symmetric_sharded(
     from icp_tpu.parallel.sharded import _pad_rows, _ring_correspond
 
     cfg = config or ICPConfig()
-    if cfg.resolved_nn_method(jax.default_backend()) == "grid":
+    if cfg.resolved_nn_method(jax.default_backend(),
+                              max(len(model), len(scene))) == "grid":
         from icp_tpu.parallel.sharded_grid import gn_sharded_grid
 
         return gn_sharded_grid(
@@ -491,7 +492,8 @@ def icp_symmetric(
     else:
         scene_normals = jnp.asarray(scene_normals, cfg.dtype)
     backend = jax.default_backend()
-    nn_method = cfg.resolved_nn_method(backend)
+    nn_method = cfg.resolved_nn_method(backend,
+                                       max(model.shape[0], scene.shape[0]))
     if scene_n is not None:
         scene_n = jnp.asarray(scene_n, jnp.int32)
     if model_n is not None:

@@ -574,7 +574,8 @@ def icp_sharded(
     cfg = config or ICPConfig()
     _check_trace_bound(trace, n_iters, cfg.max_iter)
     mesh = mesh or make_mesh()
-    if cfg.resolved_nn_method(jax.default_backend()) == "grid":
+    if cfg.resolved_nn_method(jax.default_backend(),
+                              max(len(model), len(scene))) == "grid":
         # spatially-pruned ring fold (parallel/sharded_grid.py); ``ring``
         # does not apply — the grid path is always a ring
         from icp_tpu.parallel.sharded_grid import icp_sharded_grid

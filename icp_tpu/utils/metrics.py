@@ -74,7 +74,7 @@ def run_with_metrics(model, scene, config=None, *, measure_ops: bool = False,
         )
         m = jnp.asarray(model, jnp.float32)
         p = jnp.asarray(scene, jnp.float32)
-        nn = cfg.resolved_nn_method(backend)
+        nn = cfg.resolved_nn_method(backend, max(len(model), len(scene)))
 
         if nn == "grid":
             # steady-state grid NN, same setup as the bench harness: the
@@ -123,7 +123,8 @@ def run_with_metrics(model, scene, config=None, *, measure_ops: bool = False,
         wall_s=wall,
         errs=errs,
         backend=backend,
-        nn_method=cfg.resolved_nn_method(backend),
+        nn_method=cfg.resolved_nn_method(backend,
+                                         max(len(model), len(scene))),
         solver=cfg.resolved_solver(backend),
         correspondence_us=corr_us,
         alignment_us=align_us,
