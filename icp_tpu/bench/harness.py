@@ -469,6 +469,53 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         )
         _progress(f"global_register: {t_g*1e3:.1f} ms wall")
 
+    if not include or "batched_bucketed" in include:
+        # Bucketed 4-pair batch (VERDICT r4 #6): four UNEQUAL-size pairs
+        # padded into one bucket, registered concurrently by one vmapped
+        # program — the serving-shape analog of the reference's frame_rate
+        # counter (src/bench.cc:78), at a batch shape the reference cannot
+        # even validate (np==nm restriction, src/cpu.cc:42-53).
+        from icp_tpu.engine.batched import batch_pairs, icp_batched
+
+        sizes = [(len(ref_np), len(tr1_np)),
+                 (len(ref_np) * 9 // 10, len(tr1_np) * 8 // 10),
+                 (len(ref_np) * 7 // 8, len(tr1_np)),
+                 (len(ref_np), len(tr1_np) * 9 // 10)]
+        b_pairs = [(ref_np[:nm], tr1_np[:ns]) for nm, ns in sizes]
+        models_b, scenes_b, m_ns, s_ns = batch_pairs(b_pairs, quantum=512)
+        models_b = jnp.asarray(models_b)
+        scenes_b = jnp.asarray(scenes_b)
+        B = models_b.shape[0]
+
+        def timed_batch(k):
+            def run():
+                res = icp_batched(
+                    models_b, scenes_b, n_iters=k, solver=solver,
+                    nn_method=nn_method, scene_ns=s_ns, model_ns=m_ns,
+                )
+                float(res.err[0])
+
+            return wall_time(run)
+
+        _progress(f"bucketed batch ({B} unequal pairs) ...")
+        t_small = timed_batch(n_iters)
+        t_big = timed_batch(n_iters + 180)
+        per_iter = (t_big - t_small) / 180  # one BATCH iteration (B pairs)
+        regs_per_s = B / (per_iter * n_iters)
+        results.append(dict(
+            benchmark="batched_bucketed_registrations",
+            batch=B,
+            pair_sizes=[[int(a), int(b)] for a, b in sizes],
+            bucket=[int(models_b.shape[1]), int(scenes_b.shape[1])],
+            time_us=per_iter * 1e6,
+            registrations_per_s=regs_per_s,
+            rate_per_s=1.0 / per_iter,
+        ))
+        _progress(
+            f"bucketed batch: {per_iter*1e6:.1f} us/batch-iter "
+            f"= {regs_per_s:.0f} registrations/s at {n_iters} iters each"
+        )
+
     if not include or "full_loop_sharded" in include:
         # Sharded engine on whatever mesh this host has (1 chip on the axon
         # TPU: measures the shard_map + collectives overhead vs the plain
