@@ -332,10 +332,15 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
             point_pairs_per_s=n_pairs / per_iter,
             wall_20_iters_ms=t_small * 1e3,
         )
-        # whole-loop MFU: the iteration is one fused kernel whose dominant
-        # engine is the VPU NN fold — utilization of the analytic chip bound
+        # whole-loop MFU two ways: ``mfu_pct`` (NN-fold bound — the historic
+        # normalization) and ``mfu_iter_pct`` (the round-5 whole-iteration
+        # analytic bound: apply + fold + extraction + stats + solve).
         row.update(mfu_fields(spec, "closest_fused", n_pairs / per_iter,
                               None, per_iter))
+        if spec is not None:
+            from icp_tpu.bench.roofline import iteration_mfu_pct
+
+            row["mfu_iter_pct"] = iteration_mfu_pct(spec, n, m, per_iter)
         results.append(row)
         _progress(
             f"full loop: {per_iter*1e6:.1f} us/iter "
