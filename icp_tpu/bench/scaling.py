@@ -51,7 +51,7 @@ def synthetic_pair(n_model: int, n_scene: int, seed: int = 0):
 
 def run_cell(
     n_devices: int, points_per_device: int, n_iters: int, ring: bool,
-    model_points: int = 65536,
+    model_points: int = 65536, reps: int = 3,
 ):
     import jax
     import jax.numpy as jnp
@@ -75,7 +75,7 @@ def run_cell(
     res = icp_sharded(model, scene, cfg, mesh=mesh, ring=ring)
     float(res.err)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         res = icp_sharded(model, scene, cfg, mesh=mesh, ring=ring)
         float(res.err)

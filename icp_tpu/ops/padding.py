@@ -46,6 +46,18 @@ import numpy as np
 SENTINEL = 1.0e17
 
 
+def auto_quantum(n_max: int) -> int:
+    """Default bucket quantum for a chain whose largest cloud has ``n_max``
+    rows: the smallest power of two >= n_max/8 (bounding pad overhead at
+    ~12.5% of the largest cloud), clamped to [64, 4096].  4,096 is the
+    measured sweet spot at bunny scale (31-40k clouds -> 2 buckets); the
+    lower clamp keeps tiny (test-sized) chains from padding 40x.
+    """
+    if n_max <= 0:
+        raise ValueError(f"auto_quantum needs n_max >= 1, got {n_max}")
+    return min(4096, max(64, 1 << ((n_max + 7) // 8).bit_length()))
+
+
 def bucket_size(n: int, quantum: int = 4096) -> int:
     """Smallest multiple of ``quantum`` >= n (the static bucket shape).
 

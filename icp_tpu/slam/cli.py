@@ -45,12 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trim", type=float, default=0.0, metavar="FRAC",
                    help="trimmed registration: reject this fraction of "
                         "worst matches per iteration")
-    p.add_argument("--bucket", type=int, default=0, metavar="QUANTUM",
+    p.add_argument("--bucket", type=int, default=-1, metavar="QUANTUM",
                    help="static-shape bucketing: pad each pair's clouds to "
                         "the next QUANTUM multiple (true counts masked) so "
                         "similar-size pairs share ONE compiled program — "
                         "compiles dominate chain wall time on remote-compile "
-                        "backends (try 4096)")
+                        "backends (measured A/B in docs/PERF.md).  Default "
+                        "-1 = auto (ON for unequal-count chains, quantum "
+                        "auto-sized); 0 = off; or give an explicit quantum")
     p.add_argument("--refine", action="store_true",
                    help="bundle-adjust poses after the chain")
     p.add_argument("--detect-closures", action="store_true",
@@ -102,9 +104,20 @@ def main(argv=None) -> int:
         validate_inputs=False,
         trim_fraction=args.trim,
     )
+    if args.bucket < 0:  # auto (default): on for unequal-count chains
+        from icp_tpu.ops.padding import auto_quantum
+
+        sizes = {len(c) for c in reg_clouds}
+        bucket_quantum = (auto_quantum(max(sizes)) if len(sizes) > 1
+                          else None)
+    else:
+        bucket_quantum = args.bucket or None
+    if bucket_quantum:
+        print(f"[slam] bucketing on: quantum={bucket_quantum}",
+              file=sys.stderr)
     pairs = register_chain(
         reg_clouds, cfg, multiscale=tuple(args.multiscale), init=args.init,
-        engine=args.engine, bucket_quantum=args.bucket or None,
+        engine=args.engine, bucket_quantum=bucket_quantum,
     )
     for k, pr in enumerate(pairs):
         print(
@@ -133,7 +146,7 @@ def main(argv=None) -> int:
         closure_edges, closure_results = refine_closures(
             reg_clouds, cands, cfg, engine=args.engine,
             multiscale=tuple(args.multiscale),
-            bucket_quantum=args.bucket or None,
+            bucket_quantum=bucket_quantum,
         )
         if closure_edges:
             # every edge (chain AND closure) carries its feature-verified

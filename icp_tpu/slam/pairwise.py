@@ -217,7 +217,7 @@ def register_chain(
     multiscale: Sequence[int] = (1,),
     init: Optional[object] = None,
     engine: str = "point_to_point",
-    bucket_quantum: Optional[int] = None,
+    bucket_quantum="auto",
 ) -> List[PairwiseResult]:
     """Register each scan onto its predecessor: results[i] maps cloud i+1
     into cloud i's frame.  ``init="pca"`` applies per-pair PCA initialization
@@ -225,7 +225,19 @@ def register_chain(
     selects the registration metric per pair (see ``register_pair``);
     ``bucket_quantum`` pads every pair's clouds to the CHAIN-WIDE maximum
     bucket per multiscale level, so the whole chain runs on one compiled
-    program per level regardless of per-scan point counts."""
+    program per level regardless of per-scan point counts.
+
+    ``bucket_quantum="auto"`` (default since round 5 — the measured
+    bucketing A/B is in docs/PERF.md): bucketing is ON for unequal-count
+    chains (quantum from ``ops/padding.auto_quantum``) and OFF when every
+    cloud already has the same size (equal shapes reuse one compiled program
+    without padding).  Pass ``None`` to force off, or an int quantum."""
+    if bucket_quantum == "auto":
+        from icp_tpu.ops.padding import auto_quantum
+
+        sizes = {len(c) for c in clouds}
+        bucket_quantum = (auto_quantum(max(sizes)) if len(sizes) > 1
+                          else None)
     pad_sizes = None
     if bucket_quantum:
         from icp_tpu.ops.padding import bucket_size

@@ -253,8 +253,10 @@ def test_register_chain_bucketed_matches(cow_pair):
     cfg = ICPConfig(max_iter=40, dtype=jnp.float32, solver="eigh",
                     nn_method="bcast", validate_inputs=False,
                     with_scale=False)
-    exact = register_chain(clouds, cfg)
+    exact = register_chain(clouds, cfg, bucket_quantum=None)
     bucketed = register_chain(clouds, cfg, bucket_quantum=512)
+    # default ("auto") buckets unequal chains — must ALSO match exact
+    auto = register_chain(clouds, cfg)
     for a, b in zip(exact, bucketed):
         assert a.iters == b.iters
         np.testing.assert_allclose(np.asarray(a.transform.R),
@@ -262,3 +264,41 @@ def test_register_chain_bucketed_matches(cow_pair):
         np.testing.assert_allclose(np.asarray(a.transform.t),
                                    np.asarray(b.transform.t), atol=5e-5)
         np.testing.assert_allclose(a.err, b.err, rtol=1e-3, atol=1e-9)
+    for a, b in zip(exact, auto):
+        assert a.iters == b.iters
+        np.testing.assert_allclose(np.asarray(a.transform.R),
+                                   np.asarray(b.transform.R), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(a.transform.t),
+                                   np.asarray(b.transform.t), atol=5e-5)
+
+
+def test_auto_quantum():
+    from icp_tpu.ops.padding import auto_quantum
+
+    assert auto_quantum(40256) == 4096  # bunny full res -> measured optimum
+    assert auto_quantum(2903) == 512    # cow-size chain, <=~18% overhead
+    assert auto_quantum(100) == 64      # tiny test chains stay cheap
+    assert auto_quantum(1) == 64
+    with np.testing.assert_raises(ValueError):
+        auto_quantum(0)
+
+
+def test_register_chain_auto_default_resolution():
+    """The 'auto' default: OFF for equal-size chains (no padding work), ON
+    with auto_quantum for unequal ones — resolved inside register_chain;
+    pinned here via the pad shape visible in the pair results."""
+    from icp_tpu.slam.pairwise import register_chain
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((120, 3)).astype(np.float32)
+    cfg = ICPConfig(max_iter=5, dtype=jnp.float32, solver="eigh",
+                    nn_method="bcast", validate_inputs=False,
+                    with_scale=False)
+    # equal-size chain: auto == off == identical results bit-for-bit
+    eq_clouds = [base, base + 0.01, base + 0.02]
+    a = register_chain(eq_clouds, cfg)
+    b = register_chain(eq_clouds, cfg, bucket_quantum=None)
+    for x, y in zip(a, b):
+        assert x.iters == y.iters
+        np.testing.assert_array_equal(np.asarray(x.transform.R),
+                                      np.asarray(y.transform.R))
