@@ -134,11 +134,11 @@ def measure() -> int:
 
     _phase("measure")
 
-    def timed_loop(k, scene_tile=256):
+    def timed_loop(k, model_tile=4096):
         def run():
             out = icp_fixed_iters(
                 ref, tr1, n_iters=k, solver=solver, nn_method=nn_method,
-                scene_tile=scene_tile,
+                model_tile=model_tile,
             )
             float(out.err)  # force completion through the async tunnel
 
@@ -146,14 +146,15 @@ def measure() -> int:
 
     def timed_pipeline(k):
         # the composable pipeline (fused whole-iteration kernel disabled via
-        # the gate predicate; scene_tile=264 — still a sublane multiple —
-        # forces a fresh jit entry so the fused program is not reused)
+        # the gate predicate).  model_tile=4224 clamps to the IDENTICAL
+        # kernel tiling at cow size (tm = min(model_tile, 2944)) but forces
+        # a fresh jit entry so the fused program is not reused.
         import icp_tpu.kernels.icp_fused as _fm
 
         orig = _fm.fused_path_available
         _fm.fused_path_available = lambda *a, **kw: False
         try:
-            return timed_loop(k, scene_tile=264)
+            return timed_loop(k, model_tile=4224)
         finally:
             _fm.fused_path_available = orig
 

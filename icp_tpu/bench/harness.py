@@ -365,11 +365,15 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
                 def run():
                     res = icp_fixed_iters(
                         ref, tr1, n_iters=k, solver=solver,
-                        nn_method=nn_method, scene_tile=264,
-                        # scene_tile=264 (vs the default 256; still a
-                        # sublane multiple) forces a fresh jit cache entry
-                        # so the fused-path program compiled above is not
-                        # reused and the patched gate is re-evaluated.
+                        nn_method=nn_method, model_tile=4224,
+                        # model_tile=4224 clamps to the IDENTICAL kernel
+                        # tiling at cow size (tm = min(model_tile, 2944))
+                        # but forces a fresh jit cache entry so the
+                        # fused-path program compiled above is not reused
+                        # and the patched gate is re-evaluated.  (r04 used
+                        # scene_tile=264 here, which CHANGED the tiling —
+                        # its 42.26 us pipeline row carries that ~5%
+                        # confound; see docs/perf/drift_r05.json.)
                     )
                     float(res.err)
 
