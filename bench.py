@@ -158,6 +158,23 @@ def measure() -> int:
         finally:
             _fm.fused_path_available = orig
 
+    def timed_grid(k):
+        # kd-grid-pruned engine, fixed-iteration mode: exact (bit-parity
+        # with dense pinned by tests), and as of r05 the fastest measured
+        # cow loop (37.6 us/iter in harness_r05) — spatial pruning beats
+        # the dense VPU roofline even at 2,903 points once bounds tighten.
+        from icp_tpu.engine.grid import _icp_grid
+
+        thr = jnp.asarray(0.0, jnp.float32)
+
+        def run():
+            res = _icp_grid(ref, tr1, thr, max_iter=10**6, solver=solver,
+                            with_scale=True, reference_compat=True,
+                            mode="fixed", n_iters=k)
+            float(res.err)
+
+        return wall_time(run, reps=8)
+
     # Best-of-3 differencing passes PER PATH, fused/pipeline INTERLEAVED in
     # the same capture (VERDICT r4 weak #2: the fused default measured ~4%
     # slower than the pipeline in r04 — the headline now runs whichever path
@@ -166,15 +183,20 @@ def measure() -> int:
     # throughput drifts 10-20% between runs (measured — same program, same
     # HLO, different day: 37.0 vs 44.7 us/iter); the headline `value` is the
     # best pass (the machine's capability, not its instantaneous load).
-    runs_fused, runs_pipe = [], []
+    runs_fused, runs_pipe, runs_grid = [], [], []
     if on_tpu:
         for _ in range(3):
             runs_fused.append((timed_loop(520) - timed_loop(20)) / 500)
             runs_pipe.append((timed_pipeline(520) - timed_pipeline(20)) / 500)
+            runs_grid.append((timed_grid(520) - timed_grid(20)) / 500)
         runs_fused.sort()
         runs_pipe.sort()
-        path = "fused" if runs_fused[0] <= runs_pipe[0] else "pipeline"
-        runs = runs_fused if path == "fused" else runs_pipe
+        runs_grid.sort()
+        path, runs = min(
+            (("fused", runs_fused), ("pipeline", runs_pipe),
+             ("grid", runs_grid)),
+            key=lambda kv: kv[1][0],
+        )
     else:
         runs = sorted(
             (timed_loop(520) - timed_loop(20)) / 500 for _ in range(3)
@@ -229,6 +251,7 @@ def measure() -> int:
                 "path": path,
                 "per_iter_us_fused": [round(r * 1e6, 2) for r in runs_fused],
                 "per_iter_us_pipeline": [round(r * 1e6, 2) for r in runs_pipe],
+                "per_iter_us_grid": [round(r * 1e6, 2) for r in runs_grid],
             }
         ),
         flush=True,

@@ -26,8 +26,13 @@ import json
 import sys
 
 
-def load_metrics(path: str) -> dict[str, float]:
-    """-> {name: rate} (higher is better) from any supported artifact."""
+def load_metrics(path: str, attrs: dict | None = None) -> dict[str, float]:
+    """-> {name: rate} (higher is better) from any supported artifact.
+
+    ``attrs`` (optional out-param): per-row gate attributes —
+    ``{"<name>": {"gate": False}}`` for rows the artifact itself marks
+    ungated (uncontrolled context rows), ``{"gate_tolerance": X}`` for rows
+    with a row-specific tolerance (e.g. tunnel-RTT-dominated walls)."""
     metrics: dict[str, float] = {}
     with open(path) as f:
         text = f.read()
@@ -54,6 +59,12 @@ def load_metrics(path: str) -> dict[str, float]:
             if rec.get("workload"):
                 name = f"{rec['workload']}:{name}"
             metrics[name] = float(rec["rate_per_s"])
+            if attrs is not None:
+                if rec.get("gate") is False:
+                    attrs.setdefault(name, {})["gate"] = False
+                if "gate_tolerance" in rec:
+                    attrs.setdefault(name, {})["gate_tolerance"] = float(
+                        rec["gate_tolerance"])
         elif "metric" in rec and "value" in rec:  # bench.py headline
             if float(rec["value"]) > 0:
                 metrics[rec["metric"]] = float(rec["value"])
@@ -61,8 +72,15 @@ def load_metrics(path: str) -> dict[str, float]:
 
 
 def compare(old: dict[str, float], new: dict[str, float],
-            tolerance: float, skip: list[str] | None = None) -> int:
+            tolerance: float, skip: list[str] | None = None,
+            attrs: dict | None = None) -> int:
     rc = 0
+    attrs = attrs or {}
+    for name, a in attrs.items():
+        if a.get("gate") is False and name in old:
+            print(f"skipping {name} (old={old.pop(name):.4g} — artifact "
+                  "marks it gate=false: uncontrolled context row)")
+            new.pop(name, None)
     for name in skip or []:
         # measurement-protocol fixes produce false regressions (e.g. the r03
         # err_compute rows were 0.1 us FLOORS — r04 measures the real 0.94
@@ -80,12 +98,15 @@ def compare(old: dict[str, float], new: dict[str, float],
             rc = 1
             continue
         ratio = new[name] / old[name]
+        tol = attrs.get(name, {}).get("gate_tolerance", tolerance)
         verdict = "ok"
-        if ratio < 1.0 - tolerance:
+        if ratio < 1.0 - tol:
             verdict = f"FAIL (-{(1 - ratio) * 100:.1f}%)"
             rc = 1
-        elif ratio > 1.0 + tolerance:
+        elif ratio > 1.0 + tol:
             verdict = f"improved (+{(ratio - 1) * 100:.1f}%)"
+        if tol != tolerance:
+            verdict += f" [row tolerance {tol:.2f}]"
         print(f"{name:<{width}}  {old[name]:>12.4g}  {new[name]:>12.4g}  "
               f"{ratio:>7.3f}  {verdict}")
     for name in sorted(set(new) - set(old)):
@@ -103,12 +124,13 @@ def main(argv=None) -> int:
                     help="row names to exclude (for measurement-protocol "
                          "fixes that would read as false regressions)")
     args = ap.parse_args(argv)
-    old = load_metrics(args.old)
-    new = load_metrics(args.new)
+    attrs: dict = {}
+    old = load_metrics(args.old, attrs)
+    new = load_metrics(args.new, attrs)  # either artifact may carry flags
     if not old:
         print(f"no metrics found in {args.old}", file=sys.stderr)
         return 2
-    return compare(old, new, args.tolerance, skip=args.skip)
+    return compare(old, new, args.tolerance, skip=args.skip, attrs=attrs)
 
 
 if __name__ == "__main__":
