@@ -29,7 +29,11 @@ instead of hanging the driver.
 Env knobs (seconds unless noted):
   ICP_BENCH_INIT_TIMEOUT=600     backend-init phase watchdog
   ICP_BENCH_GATE_TIMEOUT=1200    convergence-gate phase (includes 1st compile)
-  ICP_BENCH_MEASURE_TIMEOUT=900  timing phase
+  ICP_BENCH_MEASURE_TIMEOUT=1500 timing phase (r05: three loop paths
+                                 measured interleaved, and first compiles
+                                 of the pipeline/grid programs land here —
+                                 remote-compile latency swings 3x between
+                                 days, docs/PERF.md "Compile latency")
   ICP_BENCH_ATTEMPTS=2           supervised attempts
   ICP_BENCH_BACKOFF=20           sleep between attempts
   ICP_BENCH_TOTAL_TIMEOUT=2700   hard budget across all attempts
@@ -357,7 +361,7 @@ def supervise() -> int:
         "spawn": 120.0,
         "init": _env_float("ICP_BENCH_INIT_TIMEOUT", 600.0),
         "gate": _env_float("ICP_BENCH_GATE_TIMEOUT", 1200.0),
-        "measure": _env_float("ICP_BENCH_MEASURE_TIMEOUT", 900.0),
+        "measure": _env_float("ICP_BENCH_MEASURE_TIMEOUT", 1500.0),
         "done": 120.0,
     }
 

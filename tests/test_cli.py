@@ -82,6 +82,35 @@ def test_slam_cli_chain(tmp_path):
     assert np.abs(out1 - world[:150]).max() < 0.05
 
 
+def test_slam_cli_bucket_auto_default(tmp_path):
+    """`icp-slam` default `--bucket -1`: auto bucketing ON for unequal-count
+    chains (stderr announces the resolved quantum), OFF with `--bucket 0`,
+    results equivalent either way (round-5 default flip)."""
+    rng = np.random.default_rng(1)
+    world = rng.standard_normal((150, 3))
+    scan0, scan1 = world, world[:120] + np.array([0.03, -0.01, 0.02])
+    for name, pts in [("s0.txt", scan0), ("s1.txt", scan1)]:
+        with open(tmp_path / name, "w") as f:
+            f.write("Points_0,Points_1,Points_2\n")
+            for p in pts:
+                f.write(f"{p[0]:g},{p[1]:g},{p[2]:g}\n")
+    base = [sys.executable, "-m", "icp_tpu.slam.cli", "s0.txt", "s1.txt",
+            "--max-iter", "30", "--nn", "bcast", "--solver", "eigh"]
+    r_auto = subprocess.run(base, capture_output=True, text=True,
+                            cwd=tmp_path, env=ENV, timeout=600)
+    assert r_auto.returncode == 0, r_auto.stderr
+    assert "[slam] bucketing on: quantum=64" in r_auto.stderr
+    out_auto = np.loadtxt(tmp_path / "registered_1.txt", delimiter=",",
+                          skiprows=1)
+    r_off = subprocess.run(base + ["--bucket", "0"], capture_output=True,
+                           text=True, cwd=tmp_path, env=ENV, timeout=600)
+    assert r_off.returncode == 0, r_off.stderr
+    assert "bucketing on" not in r_off.stderr
+    out_off = np.loadtxt(tmp_path / "registered_1.txt", delimiter=",",
+                         skiprows=1)
+    assert np.abs(out_auto - out_off).max() < 1e-4
+
+
 def test_checkpoint_roundtrip(tmp_path):
     for name in ("cow_ref.txt", "cow_tr1.txt"):
         src = open(data_path(name)).read().splitlines()
