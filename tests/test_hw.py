@@ -273,3 +273,37 @@ def test_hw_symmetric_grid_matches_dense(cow_f32):
     assert int(grid.iters) == int(dense.iters)
     np.testing.assert_allclose(np.asarray(grid.points),
                                np.asarray(dense.points), atol=1e-4)
+
+
+def test_hw_bucketed_and_batched_match_exact(cow_f32):
+    """Round-5 bucketing machinery under the REAL Mosaic compiler: a
+    sentinel-padded cloud with dynamic counts must reproduce the unpadded
+    run on the fused/pallas path, and the bucketed 2-pair vmapped batch
+    must match its per-pair runs."""
+    from icp_tpu import ICPConfig
+    from icp_tpu.engine.batched import batch_pairs, icp_batched
+    from icp_tpu.engine.icp import icp, icp_fixed_iters
+    from icp_tpu.ops.padding import pad_to_bucket
+
+    ref, tr1 = cow_f32
+    cfg = ICPConfig(max_iter=12, dtype=jnp.float32, validate_inputs=False)
+    base = icp(ref, tr1, cfg)
+    m_pad, m_n = pad_to_bucket(ref, quantum=512)
+    s_pad, s_n = pad_to_bucket(tr1, quantum=512, n_pad=len(tr1) + 512)
+    bucketed = icp(m_pad, s_pad, cfg, scene_n=s_n, model_n=m_n)
+    assert int(bucketed.iters) == int(base.iters)
+    np.testing.assert_allclose(np.asarray(bucketed.points[:s_n]),
+                               np.asarray(base.points), atol=1e-4)
+
+    pairs = [(ref, tr1), (ref[: len(ref) - 377], tr1[: len(tr1) - 123])]
+    models_b, scenes_b, m_ns, s_ns = batch_pairs(pairs, quantum=512)
+    batch = icp_batched(jnp.asarray(models_b), jnp.asarray(scenes_b),
+                        n_iters=8, solver="qcp_fused", nn_method="pallas",
+                        scene_ns=s_ns, model_ns=m_ns)
+    for b in range(2):
+        single = icp_fixed_iters(
+            jnp.asarray(models_b[b]), jnp.asarray(scenes_b[b]), n_iters=8,
+            solver="qcp_fused", nn_method="pallas",
+            scene_n=int(s_ns[b]), model_n=int(m_ns[b]))
+        np.testing.assert_allclose(np.asarray(batch.points[b]),
+                                   np.asarray(single.points), atol=1e-4)
