@@ -6,7 +6,11 @@ the component-by-component mapping and docs/ for the architecture.
 """
 
 from icp_tpu.config import ICPConfig
-from icp_tpu.engine.batched import icp_batched
+from icp_tpu.engine.batched import (
+    batch_pairs,
+    icp_batched,
+    register_chain_batched,
+)
 from icp_tpu.engine.gicp import icp_generalized, icp_generalized_sharded
 from icp_tpu.engine.icp import (
     ICPResult,
@@ -38,6 +42,7 @@ from icp_tpu.slam.closure import (
     verified_inlier_fraction,
 )
 from icp_tpu.ops.normals import estimate_normals, orient_normals
+from icp_tpu.ops.padding import auto_quantum, pad_to_bucket
 from icp_tpu.ops.voxel import voxel_downsample, voxel_downsample_np
 from icp_tpu.io.csv import load_matrix, write_matrix
 from icp_tpu.parallel.mesh import init_distributed, make_mesh
@@ -77,6 +82,10 @@ __all__ = [
     "ICPTrace",
     "icp",
     "icp_batched",
+    "batch_pairs",
+    "register_chain_batched",
+    "auto_quantum",
+    "pad_to_bucket",
     "icp_generalized",
     "icp_generalized_sharded",
     "icp_point_to_plane",
