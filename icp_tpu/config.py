@@ -15,11 +15,14 @@ import dataclasses
 import jax.numpy as jnp
 
 # Smallest cloud (max of model/scene rows) at which ``nn_method="auto"``
-# dispatches to the kd-grid engine on TPU.  Measured endpoints
-# (docs/PERF.md): parity at 2,903 (cow), 9.4x at 48,485 (horse); dense
-# cost grows as N*M while grid stays ~linear, so the crossover sits just
-# above cow size — 8,192 is the conservative round-number choice.
-GRID_AUTO_THRESHOLD = 8192
+# dispatches to the kd-grid engine on TPU.  Measured crossover sweep on
+# subsampled horse (real surface data, r05 chip capture — docs/PERF.md
+# "auto-dispatch crossover"): dense wins at 2,021 pts (13.7 vs 15.9 us),
+# grid wins 1.34x at 4,041, 1.95x at 8,081, 4.05x at 16,162; cow (2,903)
+# measures parity-band.  The crossover sits at ~3-3.5k points; 4,096 keeps
+# every measured grid-winning size on the grid path while cow-sized and
+# smaller clouds stay on the dense/fused kernel.
+GRID_AUTO_THRESHOLD = 4096
 
 
 @dataclasses.dataclass(frozen=True)
