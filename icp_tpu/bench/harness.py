@@ -228,6 +228,14 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         "err_compute": err_compute,
         "err_compute_alignment": err_compute_alignment,
     }
+    # The XLA dense-NN rows MATERIALIZE the N x M f32 matrix (measured —
+    # docs/PERF.md "XLA bcast"); at horse size that is ~9.4 GB and flirts
+    # with the 16 GB HBM.  Cap them; the tiled kernels never materialize.
+    if ref.shape[0] * tr1.shape[0] > 4e8:
+        for name in ("closest_bcast", "closest_matmul"):
+            ops.pop(name)
+            _progress(f"op {name}: skipped (materializes "
+                      f"{ref.shape[0] * tr1.shape[0] * 4 / 1e9:.1f} GB)")
     if on_tpu:
         ops["closest_pallas"] = nn_pallas
         from icp_tpu.engine.grid import _prepare_scene
