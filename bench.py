@@ -189,18 +189,30 @@ def measure() -> int:
     # best pass (the machine's capability, not its instantaneous load).
     runs_fused, runs_pipe, runs_grid = [], [], []
     if on_tpu:
+        passes = {"fused": (timed_loop, runs_fused),
+                  "pipeline": (timed_pipeline, runs_pipe),
+                  "grid": (timed_grid, runs_grid)}
+        dead = set()
         for _ in range(3):
-            runs_fused.append((timed_loop(520) - timed_loop(20)) / 500)
-            runs_pipe.append((timed_pipeline(520) - timed_pipeline(20)) / 500)
-            runs_grid.append((timed_grid(520) - timed_grid(20)) / 500)
-        runs_fused.sort()
-        runs_pipe.sort()
-        runs_grid.sort()
-        path, runs = min(
-            (("fused", runs_fused), ("pipeline", runs_pipe),
-             ("grid", runs_grid)),
-            key=lambda kv: kv[1][0],
-        )
+            for pname, (timed, acc) in passes.items():
+                if pname in dead:
+                    continue
+                try:  # one regressed path must not kill the headline
+                    acc.append((timed(520) - timed(20)) / 500)
+                except Exception as e:
+                    dead.add(pname)
+                    print(f"[bench] {pname} path failed "
+                          f"({type(e).__name__}: {e}); dropped",
+                          file=sys.stderr, flush=True)
+        for acc in (runs_fused, runs_pipe, runs_grid):
+            acc.sort()
+        candidates = [(p, acc) for p, (_, acc) in passes.items() if acc]
+        if not candidates:
+            print(json.dumps({"metric": METRIC, "value": 0.0,
+                              "unit": "iter/s", "vs_baseline": 0.0,
+                              "error": "every loop path failed"}), flush=True)
+            return 1
+        path, runs = min(candidates, key=lambda kv: kv[1][0])
     else:
         runs = sorted(
             (timed_loop(520) - timed_loop(20)) / 500 for _ in range(3)
