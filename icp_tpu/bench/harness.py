@@ -348,7 +348,9 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
         if spec is not None:
             from icp_tpu.bench.roofline import iteration_mfu_pct
 
-            row["mfu_iter_pct"] = iteration_mfu_pct(spec, n, m, per_iter)
+            # ref is the MODEL and tr1 the SCENE (icp_fixed_iters(ref,
+            # tr1)), so n_scene = tr1 rows (m) and n_model = ref rows (n)
+            row["mfu_iter_pct"] = iteration_mfu_pct(spec, m, n, per_iter)
         results.append(row)
         _progress(
             f"full loop: {per_iter*1e6:.1f} us/iter "
@@ -373,15 +375,14 @@ def benchmark_matrix(n_iters: int = 20, include=None, workload: str = "cow"):
                 def run():
                     res = icp_fixed_iters(
                         ref, tr1, n_iters=k, solver=solver,
-                        nn_method=nn_method, model_tile=4224,
-                        # model_tile=4224 clamps to the IDENTICAL kernel
-                        # tiling at cow size (tm = min(model_tile, 2944))
-                        # but forces a fresh jit cache entry so the
-                        # fused-path program compiled above is not reused
-                        # and the patched gate is re-evaluated.  (r04 used
-                        # scene_tile=264 here, which CHANGED the tiling —
-                        # its 42.26 us pipeline row carries that ~5%
-                        # confound; see docs/perf/drift_r05.json.)
+                        nn_method=nn_method, cache_tag="pipeline",
+                        # inert static tag: fresh jit entry so the patched
+                        # gate is re-evaluated, with IDENTICAL kernels at
+                        # every size.  (r04 used scene_tile=264 here, which
+                        # CHANGED the tiling — its 42.26 us pipeline row
+                        # carries that ~5% confound; the early-r05
+                        # model_tile=4224 dodge had the same flaw at horse
+                        # size; see docs/perf/drift_r05.json.)
                     )
                     float(res.err)
 

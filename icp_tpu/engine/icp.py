@@ -595,6 +595,7 @@ def _icp_scan_trace(
         "scene_tile",
         "model_tile",
         "trim_fraction",
+        "cache_tag",
     ),
 )
 def icp_fixed_iters(
@@ -613,10 +614,18 @@ def icp_fixed_iters(
     trim_fraction: float = 0.0,
     scene_n=None,
     model_n=None,
+    cache_tag: str = "",
 ):
     """Run exactly ``n_iters`` iterations with no convergence exit — the
     benchmark workload (reference full-loop benches use 20 iterations,
-    ``src/bench.cc:435-445``)."""
+    ``src/bench.cc:435-445``).
+
+    ``cache_tag``: inert static argument — a distinct tag forces a fresh
+    trace (so e.g. the benchmarks' gate-patched pipeline variant is
+    re-traced instead of reusing the fused-path program) WITHOUT touching
+    any knob that changes the generated kernels.  The r04/early-r05
+    cache-dodges (scene_tile=264, model_tile=4224) changed the NN tiling
+    at some cloud sizes — a measurement confound this removes."""
     dt = scene.dtype
     model, scene, scene_mask = _bucket_prologue(model, scene, scene_n, model_n)
     prep = None if scene_mask is not None else _fused_prep(

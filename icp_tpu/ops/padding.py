@@ -55,7 +55,20 @@ def auto_quantum(n_max: int) -> int:
     """
     if n_max <= 0:
         raise ValueError(f"auto_quantum needs n_max >= 1, got {n_max}")
-    return min(4096, max(64, 1 << ((n_max + 7) // 8).bit_length()))
+    # smallest power of two >= ceil(n_max/8): (x-1).bit_length(), not
+    # x.bit_length(), which doubles the quantum whenever x is an exact power
+    target = (n_max + 7) // 8
+    return min(4096, max(64, 1 << max(0, target - 1).bit_length()))
+
+
+def resolve_auto_bucket(clouds) -> int | None:
+    """The chain-level "auto" bucketing policy, in ONE place (used by
+    ``slam.register_chain`` and the ``icp-slam`` CLI): bucketing is ON with
+    ``auto_quantum`` sizing when the chain has unequal cloud sizes, OFF
+    (None) when every cloud already shares one shape — equal shapes reuse a
+    compiled program without padding."""
+    sizes = {len(c) for c in clouds}
+    return auto_quantum(max(sizes)) if len(sizes) > 1 else None
 
 
 def bucket_size(n: int, quantum: int = 4096) -> int:

@@ -105,11 +105,9 @@ def main(argv=None) -> int:
         trim_fraction=args.trim,
     )
     if args.bucket < 0:  # auto (default): on for unequal-count chains
-        from icp_tpu.ops.padding import auto_quantum
+        from icp_tpu.ops.padding import resolve_auto_bucket
 
-        sizes = {len(c) for c in reg_clouds}
-        bucket_quantum = (auto_quantum(max(sizes)) if len(sizes) > 1
-                          else None)
+        bucket_quantum = resolve_auto_bucket(reg_clouds)
     else:
         bucket_quantum = args.bucket or None
     if bucket_quantum:

@@ -233,11 +233,9 @@ def register_chain(
     cloud already has the same size (equal shapes reuse one compiled program
     without padding).  Pass ``None`` to force off, or an int quantum."""
     if bucket_quantum == "auto":
-        from icp_tpu.ops.padding import auto_quantum
+        from icp_tpu.ops.padding import resolve_auto_bucket
 
-        sizes = {len(c) for c in clouds}
-        bucket_quantum = (auto_quantum(max(sizes)) if len(sizes) > 1
-                          else None)
+        bucket_quantum = resolve_auto_bucket(clouds)
     pad_sizes = None
     if bucket_quantum:
         from icp_tpu.ops.padding import bucket_size

@@ -52,10 +52,10 @@ def main() -> int:
     ref = jnp.asarray(ref_np, jnp.float32)
     tr1 = jnp.asarray(tr1_np, jnp.float32)
 
-    def timed_loop(k, model_tile=4096):
+    def timed_loop(k, cache_tag=""):
         def run():
             out = icp_fixed_iters(ref, tr1, n_iters=k, solver="qcp_fused",
-                                  nn_method="pallas", model_tile=model_tile)
+                                  nn_method="pallas", cache_tag=cache_tag)
             float(out.err)
 
         return wall_time(run, reps=8)
@@ -64,18 +64,18 @@ def main() -> int:
         return (timed_loop(520) - timed_loop(20)) / 500
 
     def pipeline_pass():
-        # model_tile=4224 clamps to the IDENTICAL kernel tiling at cow size
-        # (tm = min(model_tile, 2944)) but is a fresh jit cache key, so the
-        # patched gate below is re-evaluated instead of reusing the fused
-        # program.  (The earlier scene_tile=264 dodge CHANGED the tiling —
-        # a ~5% confound this capture exists to exclude.)
+        # cache_tag: inert static arg — fresh jit entry so the patched gate
+        # below is re-evaluated instead of reusing the fused program, with
+        # IDENTICAL kernels at every size.  (The earlier scene_tile=264 and
+        # model_tile=4224 dodges changed the tiling at some sizes — the
+        # confound class this capture exists to exclude.)
         import icp_tpu.kernels.icp_fused as _fm
 
         orig = _fm.fused_path_available
         _fm.fused_path_available = lambda *a, **k: False
         try:
-            return (timed_loop(520, model_tile=4224)
-                    - timed_loop(20, model_tile=4224)) / 500
+            return (timed_loop(520, cache_tag="pipeline")
+                    - timed_loop(20, cache_tag="pipeline")) / 500
         finally:
             _fm.fused_path_available = orig
 

@@ -96,19 +96,29 @@ def run_cell_2proc(d: int, ppd: int, tmpdir: str) -> dict | None:
         for i in range(2)
     ]
     outs = []
+    failed = False
     for p in procs:
         try:
             out, err = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
             print("[scaling] 2-process cell hung", file=sys.stderr)
-            return None
+            failed = True
+            break
         if p.returncode != 0:
             print(f"[scaling] 2-process worker rc={p.returncode}: "
                   f"{err[-1500:]}", file=sys.stderr)
-            return None
+            failed = True
+            break
         outs.append(out)
+    if failed:
+        # kill BOTH workers: a dead coordinator leaves its sibling blocked
+        # in init_distributed, and an orphan would skew every later cell's
+        # wall on this oversubscribed host
+        for q in procs:
+            if q.poll() is None:
+                q.kill()
+                q.wait()
+        return None
     for o in outs:
         for line in o.splitlines():
             if line.startswith("CELL "):

@@ -65,29 +65,40 @@ def test_auto_end_to_end_on_cpu_backend():
     assert np.isfinite(float(res.err))
 
 
-@pytest.mark.slow
-def test_auto_grid_branch_dispatches(monkeypatch):
-    """Force the 'tpu' resolution on the CPU backend for a tiny cloud by
-    dropping the threshold: the auto path must take the grid engine branch
-    (pinned by matching the explicit-grid result exactly)."""
-    import icp_tpu.config as config_mod
+def test_engines_pass_problem_size_to_the_resolver(monkeypatch):
+    """Pin the dispatch GLUE, not just the resolver: every engine entry
+    must call ``resolved_nn_method(backend, n_points)`` with the max of the
+    two cloud sizes.  (A spy records the call; without it, inverting the
+    ``== "grid"`` branch in an engine would pass every CPU test, because on
+    CPU auto always resolves to bcast — VERDICT-r5 review finding.)"""
     from icp_tpu.engine.icp import icp
+    from icp_tpu.engine.point_to_plane import icp_point_to_plane
+    from icp_tpu.engine.symmetric import icp_symmetric
 
     rng = np.random.default_rng(1)
     model = rng.standard_normal((96, 3)).astype(np.float32)
-    scene = model[:93] + 0.01 * rng.standard_normal((93, 3)).astype(np.float32)
+    scene = (model[:93] +
+             0.01 * rng.standard_normal((93, 3)).astype(np.float32))
 
-    monkeypatch.setattr(config_mod, "GRID_AUTO_THRESHOLD", 64)
-    # resolved_nn_method reads the module global through the import above
-    cfg_auto = ICPConfig(max_iter=3, validate_inputs=False,
-                         grid_model_tile=32, grid_scene_tile=8)
-    assert cfg_auto.resolved_nn_method("tpu", 96) == "grid"
+    calls = []
+    orig = ICPConfig.resolved_nn_method
 
-    cfg_grid = ICPConfig(max_iter=3, validate_inputs=False, nn_method="grid",
-                         grid_model_tile=32, grid_scene_tile=8)
-    r_auto = icp(model, scene, cfg_auto)
-    r_grid = icp(model, scene, cfg_grid)
-    # on CPU auto resolves to bcast; grid NN is exact, so results agree
-    assert int(r_auto.iters) == int(r_grid.iters)
-    np.testing.assert_allclose(np.asarray(r_auto.points),
-                               np.asarray(r_grid.points), atol=2e-5)
+    def spy(self, backend, n_points=None):
+        calls.append(n_points)
+        return orig(self, backend, n_points)
+
+    monkeypatch.setattr(ICPConfig, "resolved_nn_method", spy)
+    cfg = ICPConfig(max_iter=2, validate_inputs=False)
+    for engine in (icp, icp_point_to_plane, icp_symmetric):
+        calls.clear()
+        engine(model, scene, cfg)
+        assert 96 in calls, (engine.__name__, calls)
+
+
+def test_grid_auto_threshold_matches_measured_crossover():
+    """The threshold constant must stay inside the measured crossover
+    bracket (docs/PERF.md 'auto-dispatch crossover': dense wins at 2,021
+    pts, grid wins from 4,041)."""
+    from icp_tpu.config import GRID_AUTO_THRESHOLD
+
+    assert 2021 < GRID_AUTO_THRESHOLD <= 4096

@@ -277,6 +277,8 @@ def test_auto_quantum():
 
     assert auto_quantum(40256) == 4096  # bunny full res -> measured optimum
     assert auto_quantum(2903) == 512    # cow-size chain, <=~18% overhead
+    assert auto_quantum(512) == 64      # exact power: no doubling
+    assert auto_quantum(4096) == 512    # ceil(4096/8)=512 -> exactly 512
     assert auto_quantum(100) == 64      # tiny test chains stay cheap
     assert auto_quantum(1) == 64
     with np.testing.assert_raises(ValueError):
