@@ -10,7 +10,13 @@ Chip model (public numbers, "How to Scale Your Model" chs. 1-2 + Google's
 TPU v5e system architecture page):
 
   TPU v5e (device_kind "TPU v5 lite"):
-    * clock ~0.94 GHz
+    * clock ~0.94 GHz — the PUBLIC BASE value.  Measured r05: in fast
+      sessions the NN kernel sustains ~115% of the base-clock VPU bound
+      (19.0 us/call vs the 21.9 us bound), i.e. the chip boosts ~15-20%
+      above base.  Utilization percentages >100 therefore mean "boost
+      state", not a broken model; bounds here stay pinned to the
+      documented base clock rather than a fitted constant (the whole point
+      is not grading our own homework).
     * VPU: (8 sublanes x 128 lanes) = 1024 vector lanes, 4 independent
       ALUs per lane  ->  peak ~3.85e12 f32 lane-ops/s
     * MXU: peak 1.97e14 bf16 FLOP/s per chip (f32-accumulate)
